@@ -1,0 +1,62 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed via the same path the correctness harness uses
+(register views -> spark.sql / DataFrame op) and fully drained with a
+count-collect so the measured time includes the whole plan, not just
+planning. One warm-up run of dq01 absorbs session/JIT start-up so the
+numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from kinesis_alerts_consumer_spark.session import get_spark
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="kinesis-alerts-consumer-spark-bench")
+    register_tables(spark, sf_dir)
+
+    qs = entrymod.queries()
+
+    # Warm-up: session init, parquet footer reads, codegen JIT.
+    first = sorted(qs)[0]
+    qs[first](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        start = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""The engine's declared relational query surface (SURVEY.md §2B).
+
+Each entry is a single SQL text runnable VERBATIM on both Spark SQL and
+the DuckDB oracle over the fixture views — cross-engine portability
+rules (explicit ORDER BY with total tie-breaks, NULLS FIRST, explicit
+regexp group index, ROUND on double outputs, floor-before-int-cast)
+are baked into the texts; see SURVEY.md §2B for the discovery notes.
+
+The queries exercise the relational algebra the reference reduces to
+(scan/filter/project/regex/explode/keyed-agg/window/max — SURVEY.md
+§2A), widened to the full engine surface: joins (inner/semi/anti),
+window functions, rollup, set ops, sessionization, top-k.
+
+``ORACLE_OVERRIDES`` holds DuckDB-dialect twins for queries whose Spark
+form is DataFrame code or uses Spark-only functions; for the 16 DQ
+texts below no override is needed.
+"""
+
+from __future__ import annotations
+
+DECLARED_QUERIES: dict[str, str] = {
+    # scan + filter + projection + expression (reference F1-F3/P4 analogue)
+    "dq01_filter_project": """
+SELECT l_orderkey, l_linenumber, l_quantity * (1 - l_discount) AS net
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+    # 3-way equi hash join + group-agg
+    "dq02_join_agg": """
+SELECT n_name, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+    # window ranking + top-k per group
+    "dq03_window_topk": """
+SELECT o_custkey, o_orderkey, rnk
+FROM (SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey LIMIT 100
+""",
+    # grouping sets / rollup
+    "dq04_rollup": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    # regex extraction + cast (reference F4 analogue)
+    "dq05_regex_extract": """
+SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+FROM events ORDER BY event_id LIMIT 50
+""",
+    # tumbling-window aggregation, batch-replay form of reference A1
+    "dq06_tumbling_agg": """
+SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt,
+       ROUND(SUM(value),2) AS sv
+FROM events GROUP BY 1,2 ORDER BY 1,2
+""",
+    # set op INTERSECT
+    "dq07_intersect": """
+SELECT o_custkey FROM orders
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+ORDER BY o_custkey LIMIT 20
+""",
+    # semi join (EXISTS)
+    "dq08_semi_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+ORDER BY c_custkey
+""",
+    # sessionization (gaps-and-islands; batch form of session windows)
+    "dq09_sessionization": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g)
+SELECT user_id, sess, COUNT(*) AS n
+FROM s GROUP BY user_id, sess ORDER BY user_id, sess LIMIT 100
+""",
+    # exact dedup / distinct counting (LLM-pipeline op)
+    "dq10_exact_dedup_counts": """
+SELECT lang, source, COUNT(*) AS n, COUNT(DISTINCT text) AS distinct_texts
+FROM documents GROUP BY lang, source ORDER BY lang, source LIMIT 50
+""",
+    # anti join (NOT EXISTS)
+    "dq11_anti_join": """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey LIMIT 100
+""",
+    # sort + limit (global top-k)
+    "dq12_global_topk": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    # UNION ALL + EXCEPT
+    "dq13_union_except": """
+SELECT n_regionkey AS k FROM nation
+UNION ALL
+SELECT r_regionkey FROM region
+EXCEPT SELECT 99
+ORDER BY k LIMIT 50
+""",
+    # scalar string/math functions (reference P4/P6 analogues)
+    "dq14_scalar_functions": """
+SELECT event_id,
+       concat(event_type, ':', CAST(CAST(floor(value) AS INT) AS STRING)) AS tag,
+       ROUND(abs(value - 50.0),2) AS av
+FROM events ORDER BY event_id LIMIT 50
+""",
+    # conditional aggregation (reference P5 counter/gauge defaults)
+    "dq15_conditional_agg": """
+SELECT event_type,
+       ROUND(SUM(CASE WHEN value IS NULL THEN 1.0 ELSE value END),2) AS counter_sum,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # min/max/count time-series profile per key (reference A1/A2 analogue)
+    "dq16_minmax_profile": """
+SELECT user_id, MAX(ts) AS last_ts, MIN(ts) AS first_ts, COUNT(*) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+}
+
+# DuckDB-dialect twins for queries that are NOT verbatim-portable.
+# (Queries implemented as DataFrame code register their oracle here too;
+# see operators/ modules.)
+ORACLE_OVERRIDES: dict[str, str] = {}
+
+
+def oracle_sql_for(name: str) -> str:
+    """DuckDB oracle SQL for a declared query name."""
+    return ORACLE_OVERRIDES.get(name, DECLARED_QUERIES[name])
+
+
+def run_declared(spark, sf_dir: str, name: str):
+    """Run one declared query against the fixture tables at ``sf_dir``."""
+    from ..session import configure
+    from ..sources import register_tables
+
+    configure(spark)
+    register_tables(spark, sf_dir)
+    return spark.sql(DECLARED_QUERIES[name])

@@ -1,0 +1,75 @@
+"""Parquet table registry for the engine's fixture star schema.
+
+Tables (TESTDATA.md / FIXTURES.md §1): region nation customer supplier
+part orders lineitem events documents embeddings — one parquet file per
+table under ``<sf_dir>/``.
+
+The only table needing normalization is ``events``: its ``ts`` column
+is parquet TIMESTAMP(NANOS). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (pinned in
+:mod:`..session`) it reads as LongType nanos and is converted here with
+``timestamp_micros(ts DIV 1000)``. Integer ``DIV`` is load-bearing —
+see session.py docstring.
+
+Scale note: at 100 TB these would be directory-partitioned datasets,
+not single files; ``load_table`` takes any path Spark can scan
+(glob/dir), and all downstream operators are written against the
+DataFrame, so switching layout is a registry change only. Filters and
+projections on the registered views push into the parquet scan
+(verified via ``explain`` in tests — PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, applying per-table normalization."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long nanos -> µs-truncated timestamp,
+        # matching DuckDB's CAST(ts AS TIMESTAMP) of the same file.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+# (session id, sf_dir) -> registered frames. Re-registering the same
+# views per query re-reads parquet footers and re-plans; at 16 queries
+# that fixed cost dominated the sf0.1 bench (~1 s/query).
+_REGISTRY: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (cached per session)."""
+    key = (id(spark), sf_dir, names)
+    cached = _REGISTRY.get(key)
+    if cached is not None:
+        return cached
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    _REGISTRY[key] = out
+    return out
