@@ -17,6 +17,7 @@ from kinesis_alerts_consumer_spark.plans.declared import (
     oracle_sql_for,
     run_declared,
 )
+from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,6 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, _n=name: run_declared(spark, sf_dir, _n)
         )
 
+    for name, (fn, _sql) in LLM_QUERIES.items():
+        out[name] = fn
+
     return out
 
 
@@ -41,4 +45,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name in DECLARED_QUERIES:
         out[name] = oracle_sql_for(name)
+    for name, (_fn, sql) in LLM_QUERIES.items():
+        out[name] = sql
     return out

@@ -1,0 +1,237 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface beyond the reference (north star).
+
+All variants are expressed with built-in column functions (explode /
+groupBy / higher-order array ops) so they scale as ordinary shuffles:
+
+- exact:   hash-groupBy on normalized text — one shuffle on the text
+           key; at 100 TB, group on ``md5(text)`` instead of the full
+           text to keep shuffle rows small (done here).
+- minhash: word shingles -> k portable hash functions (md5-derived,
+           so the DuckDB oracle can reproduce them bit-for-bit) ->
+           per-doc signature.
+- LSH:     band the signature, self-join on band buckets -> candidate
+           pairs, verify exact Jaccard on candidates only. The
+           self-join shuffles on the band key (small), never on the
+           full cross product; at scale this is THE standard
+           O(n·bands) near-dup sweep.
+- simhash: 16-bit sign-aggregated token hash (portable construction).
+- embedding near-dup: sign-pattern LSH buckets over the embedding
+  vector, cosine verified within buckets (see similarity.py for the
+  top-k variant).
+
+Determinism: every hash is md5-based (identical in Spark and DuckDB);
+no RNG anywhere, so oracle comparisons are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit integer hash from md5 — portable: Spark conv(hex,16,10),
+# DuckDB ('0x'||hex)::BIGINT. 15 hex chars keeps it positive signed.
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_of(w: Column, n: int) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array.
+
+    Always shingle from a real column, not an inline ``split(...)``
+    expression: Catalyst does not CSE across lambda scopes, so an
+    inline split re-evaluates per array element — O(tokens²)/doc
+    (observed 15 s -> 1 s at sf0.1 for minhash when fixed)."""
+    if n == 1:
+        return w
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if < n words).
+    Prefer materializing tokens + :func:`shingles_of` in hot paths."""
+    return shingles_of(_tokens(text), n)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: one row per distinct text with the kept
+    (minimum) doc_id and the duplicate count. Groups on md5(text) so
+    the shuffle carries a 32-byte key, not document bodies."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 4, shingle: int = 1
+) -> DataFrame:
+    """Per-doc MinHash signature: column ``mh{j}`` = min over shingles
+    of hash_j(shingle), hash_j(s) = hash60(j || ':' || s)."""
+    out = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", shingles_of(F.col("_toks"), shingle).alias("shingles"))
+    )
+
+    # NB: the lambda must take exactly one arg — pyspark's transform
+    # binds a second lambda arg to the array INDEX.
+    def hasher(j: int):
+        return lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
+
+    for j in range(num_hashes):
+        out = out.withColumn(
+            f"mh{j}", F.array_min(F.transform(F.col("shingles"), hasher(j)))
+        )
+    return out.drop("shingles")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, bands: int = 2, rows_per_band: int = 2, shingle: int = 1
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.
+
+    Signature of ``bands * rows_per_band`` minhashes; band value =
+    struct of its rows. Self-join on (band_index, band_value) —
+    shuffle key is small and uniform; the cross product never
+    materializes. Returns distinct (a, b) with a < b.
+    """
+    k = bands * rows_per_band
+    sig = minhash_signatures(docs, num_hashes=k, shingle=shingle)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
+              for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on=(F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    shingle: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (all pairs if none
+    given — only sane for small n; the LSH path is the scale path).
+
+    Jaccard computed set-wise: |A ∩ B| / |A ∪ B| over distinct
+    shingles, via array_intersect/array_union on deduped arrays.
+    """
+    sets = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id", F.array_distinct(shingles_of(F.col("_toks"), shingle)).alias("s")
+    )
+    if candidates is None:
+        a = sets.alias("l")
+        b = sets.alias("r")
+        pairs = a.join(b, F.col("l.doc_id") < F.col("r.doc_id"))
+    else:
+        pairs = (
+            candidates.join(sets.withColumnRenamed("doc_id", "a"), "a")
+            .withColumnRenamed("s", "sa")
+            .join(
+                sets.withColumnRenamed("doc_id", "b").withColumnRenamed("s", "sb"),
+                "b",
+            )
+            .select(
+                F.col("a").alias("l_doc_id"), F.col("b").alias("r_doc_id"),
+                F.col("sa").alias("l_s"), F.col("sb").alias("r_s"),
+            )
+        )
+        pairs = pairs.select(
+            F.struct(F.col("l_doc_id").alias("doc_id"), F.col("l_s").alias("s")).alias("l"),
+            F.struct(F.col("r_doc_id").alias("doc_id"), F.col("r_s").alias("s")).alias("r"),
+        )
+    inter = F.size(F.array_intersect(F.col("l.s"), F.col("r.s")))
+    union = F.size(F.array_union(F.col("l.s"), F.col("r.s")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc: bit b of the fingerprint is set when
+    the sum over DISTINCT tokens of sign(bit b of hash60(token)) is
+    positive. Small enough to stay one expression, portable to SQL."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
+    ).withColumn("h", _hash60(F.col("t")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, sign_bits: int = 8, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-dup: bucket by the sign pattern of the first
+    ``sign_bits`` dimensions (a deterministic random-hyperplane LSH
+    with axis-aligned planes), then exact cosine within buckets.
+    Both stages are deterministic, so the oracle reproduces them.
+    """
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(sign_bits)
+        ],
+    )
+    b = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.vec_id") < F.col("r.vec_id")),
+    )
+    from .similarity import cosine
+    sim = cosine(F.col("l.embedding"), F.col("r.embedding"))
+    return pairs.select(
+        F.col("l.vec_id").alias("a"),
+        F.col("r.vec_id").alias("b"),
+        F.round(sim, 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,159 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+Two paths, both UDF-free:
+
+- brute-force cosine top-k: broadcast the (small) query set, score
+  every (query, candidate) with a JVM-side double-precision dot
+  product (``zip_with`` + ``aggregate``), rank per query. One
+  broadcast join + one window — the exact-baseline at any scale where
+  the query side is small.
+- LSH-bucketed top-k: sign-pattern bucket join first (same buckets as
+  dedup.embedding_near_dup_pairs), cosine only within the bucket —
+  the approximate scale path: candidate count drops ~2^bits, recall
+  traded via ``sign_bits``.
+
+Double-precision note: elements cast to double BEFORE multiply and
+the sum is sequential over the array, so DuckDB's
+``list_dot_product(CAST(.. AS DOUBLE[]), ..)`` reproduces results
+bit-for-bit — the oracle comparison is exact, not tolerance-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _d(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (default: the
+    ``num_queries`` lowest vec_ids), the k nearest other vectors.
+
+    Returns (query_id, neighbor_id, rnk, cos) — ties broken by
+    neighbor_id so the output is total-ordered and oracle-hashable.
+    """
+    queries = emb.filter(
+        query_filter if query_filter is not None else F.col("vec_id") < num_queries
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding")),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("bigint").alias("rnk"), "cos")
+    )
+
+
+def _flip_bit(bucket: Column, i: int) -> Column:
+    """Flip character i (1-based) of a '0'/'1' bucket string."""
+    return F.concat(
+        F.substring(bucket, 1, i - 1),
+        F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, i + 1, 64),
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    sign_bits: int = 4,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    sign-pattern bucket plus (multi-probe) every bucket within Hamming
+    distance ``probe_radius`` — the standard recall/cost lever. All
+    deterministic (axis-aligned hyperplanes), so the oracle replays it
+    exactly; recall < 1 by design."""
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(sign_bits)
+        ],
+    )
+    b = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    probes = [F.col("qb")]
+    if probe_radius >= 1:
+        probes += [_flip_bit(F.col("qb"), i + 1) for i in range(sign_bits)]
+    queries = (
+        b.filter(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("bucket").alias("qb"),
+        )
+        .select(
+            "query_id", "q", F.explode(F.array(*probes)).alias("probe")
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            b.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding"),
+                F.col("bucket"),
+            ),
+            (F.col("probe") == F.col("bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("bigint").alias("rnk"), "cos")
+    )

@@ -1,0 +1,395 @@
+"""LLM-data-pipeline queries: dedup / similarity / text analysis as
+oracle-checked entries (documents + embeddings fixture tables).
+
+Each entry pairs a Spark DataFrame builder with a DuckDB-dialect
+oracle that reproduces the SAME deterministic computation (all hashes
+md5-based, all float math double-precision sequential, ranking on
+ROUNDed values with total tie-breaks) — so the driver's value-hash
+comparison is exact, not tolerance-based.
+
+Near-dup entries operate on a constructed corpus: documents UNION a
+mutated copy (doc_id+1000000, last two words dropped) of docs 0-19 —
+the fixture corpus has no organic near-dups (random word soup), and a
+dedup path that only ever returns empty proves nothing. The mutation
+is pure SQL/column logic, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..session import configure
+from ..sources import register_tables
+
+# ---------------------------------------------------------------- helpers
+
+_TOK = r"'\s+'"
+_HASH60_DUCK = "CAST(('0x'||substr(md5({x}),1,15)) AS BIGINT)"
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    configure(spark)
+    return register_tables(spark, sf_dir)
+
+
+def _mutated_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-dup copies of doc_id<20 (drop last 2 words)."""
+    ws = F.split(F.col("text"), " ")
+    mutated = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.when(
+                F.size(ws) > 2,
+                F.concat_ws(" ", F.slice(ws, 1, F.size(ws) - 2)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionAll(mutated)
+
+
+_MUTATED_DOCS_DUCK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(ws) > 2
+              THEN array_to_string(ws[1:len(ws)-2], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 20)
+"""
+
+
+# ------------------------------------------------------------- queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return D.exact_dedup(t["documents"]).orderBy("fp")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+FROM documents GROUP BY md5(text) ORDER BY fp
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return D.minhash_signatures(t["documents"], num_hashes=4, shingle=3).orderBy(
+        "doc_id"
+    )
+
+
+def _duck_minhash(k: int) -> str:
+    hashes = ",\n       ".join(
+        "min(CAST(('0x'||substr(md5('{j}:'||s),1,15)) AS BIGINT)) AS mh{j}".format(j=j)
+        for j in range(k)
+    )
+    return hashes
+
+
+SQL_MINHASH = f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+       WHERE len(ws) >= 3)
+SELECT doc_id, {_duck_minhash(4)}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    base = _mutated_docs(t["documents"])
+    cands = D.lsh_candidate_pairs(base, bands=2, rows_per_band=2, shingle=3)
+    return D.jaccard_pairs(base, cands, shingle=3, threshold=0.5).orderBy("a", "b")
+
+
+SQL_NEAR_DUP = f"""
+WITH base AS ({_MUTATED_DOCS_DUCK}),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM base),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+       WHERE len(ws) >= 3),
+sig AS (SELECT doc_id, {_duck_minhash(4)} FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+          AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1)
+            OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))),
+tok AS (SELECT DISTINCT doc_id, s FROM sh),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
+      FROM cand c)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return D.simhash16(t["documents"]).orderBy("doc_id")
+
+
+def _duck_simhash() -> tuple[str, str]:
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return sums, bits
+
+
+_SIMHASH_SUMS, _SIMHASH_BITS = _duck_simhash()
+
+SQL_SIMHASH = f"""
+WITH tok AS (SELECT DISTINCT doc_id,
+                    unnest(string_split_regex(trim(text), '\\s+')) AS t
+             FROM documents),
+h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+FROM s ORDER BY doc_id
+"""
+
+
+_DUCK_COS = (
+    "ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionAll(dup)
+    return D.embedding_near_dup_pairs(base, sign_bits=8, threshold=0.6).orderBy(
+        "a", "b"
+    )
+
+
+_SIGN_BUCKET_DUCK = "".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)||" for i in range(8)
+)[:-2]
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+),
+b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM base),
+p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+             {_DUCK_COS.format(a='l.embedding', b='r.embedding')} AS cos
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT a, b, cos FROM p WHERE cos >= 0.6 ORDER BY a, b
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return S.cosine_topk(t["embeddings"], k=5, num_queries=10).orderBy(
+        "query_id", "rnk"
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a='q.qe', b='e.embedding')} AS cos
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return S.cosine_topk_lsh(t["embeddings"], k=5, num_queries=10, sign_bits=4).orderBy(
+        "query_id", "rnk"
+    )
+
+
+_SIGN4_DUCK = "".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)||" for i in range(4)
+)[:-2]
+
+_FLIPS_DUCK = "\n  UNION ALL ".join(
+    "SELECT query_id, qe, substr(qb,1,{im1}) || "
+    "(CASE WHEN substr(qb,{i},1)='1' THEN '0' ELSE '1' END) || "
+    "substr(qb,{ip1}) AS probe FROM q0".format(im1=i - 1, i=i, ip1=i + 1)
+    for i in range(1, 5)
+)
+
+SQL_ANN_TOPK_LSH = f"""
+WITH b AS (SELECT vec_id, embedding, {_SIGN4_DUCK} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM b
+       WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qe, qb AS probe FROM q0
+  UNION ALL {_FLIPS_DUCK}
+),
+s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a='p.qe', b='e.embedding')} AS cos
+      FROM probes p JOIN b e ON e.bucket = p.probe
+       AND e.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.token_stats(t["documents"]).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = """
+WITH w AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       len(list_distinct(ws)) AS n_distinct,
+       len(text) AS n_chars,
+       ROUND(len(regexp_replace(text, '\\s+', '', 'g')) / len(ws), 6)
+         AS mean_token_len
+FROM w ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.quality_scores(t["documents"]).orderBy("doc_id")
+
+
+SQL_QUALITY = """
+WITH w AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+m AS (SELECT doc_id, text, ws,
+             len(list_filter(ws, x -> list_contains(
+                 ['the','a','of','and','to'], x))) AS n_stop,
+             len(text) - len(regexp_replace(text,
+                 '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS n_punct
+      FROM w),
+r AS (SELECT doc_id,
+             CAST(n_stop AS DOUBLE) / len(ws) AS stop_ratio,
+             CAST(n_punct AS DOUBLE) / len(text) AS punct_ratio,
+             1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS repetition
+      FROM m)
+SELECT doc_id,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(repetition, 6) AS repetition,
+       ROUND(1.0 - LEAST(repetition, 1.0) * 0.5
+                 - LEAST(punct_ratio * 10, 1.0) * 0.2
+                 + LEAST(stop_ratio * 2, 0.3), 6) AS quality
+FROM r ORDER BY doc_id
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.language_id(t["documents"]).orderBy("doc_id")
+
+
+def _duck_langid() -> str:
+    from ..operators.text import LANG_STOPWORDS
+
+    unions = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, '{lang}' AS lang, len(list_filter(ws, x -> "
+        "list_contains([{words}], x))) AS hits FROM w".format(
+            lang=lang,
+            words=",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]),
+        )
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+s AS (
+{unions}
+),
+r AS (SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rn
+      FROM s)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+       CAST(hits AS BIGINT) AS hits
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = _duck_langid()
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.fingerprints(t["documents"]).orderBy("doc_id")
+
+
+SQL_FINGERPRINTS = """
+WITH w AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents)
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       md5(lower(array_to_string(ws[1:8], ' '))) AS prefix_fp
+FROM w ORDER BY doc_id
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.corpus_profile(t["documents"]).orderBy("lang", "source")
+
+
+SQL_CORPUS_PROFILE = """
+WITH w AS (SELECT lang, source,
+                  len(string_split_regex(trim(text), '\\s+')) AS n,
+                  len(text) AS c
+           FROM documents)
+SELECT lang, source, COUNT(*) AS docs, SUM(n) AS tokens,
+       ROUND(AVG(n), 6) AS avg_tokens, ROUND(AVG(c), 6) AS avg_chars
+FROM w GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+LLM_QUERIES: dict[str, tuple] = {
+    "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
+    "llm03_near_dup_minhash_lsh": (q_near_dup_minhash_lsh, SQL_NEAR_DUP),
+    "llm04_simhash": (q_simhash, SQL_SIMHASH),
+    "llm05_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "llm06_ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "llm07_ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_TOPK_LSH),
+    "llm08_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "llm09_quality_scores": (q_quality_scores, SQL_QUALITY),
+    "llm10_language_id": (q_language_id, SQL_LANG_ID),
+    "llm11_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "llm12_corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
+}

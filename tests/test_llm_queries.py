@@ -1,0 +1,42 @@
+"""LLM-pipeline operator correctness: Spark vs DuckDB at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
+
+from .comparison import assert_frames_match
+from .conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("name", sorted(LLM_QUERIES))
+def test_llm_query_matches_oracle(spark, duck, name):
+    fn, oracle = LLM_QUERIES[name]
+    assert_frames_match(fn(spark, SF_SMOKE), duck, oracle, name=name)
+
+
+def test_near_dup_finds_constructed_duplicates(spark):
+    """The 20 mutated docs must pair with their originals at high
+    Jaccard — the LSH path actually finds planted near-dups."""
+    fn, _ = LLM_QUERIES["llm03_near_dup_minhash_lsh"]
+    rows = {(r.a, r.b): r.jaccard for r in fn(spark, SF_SMOKE).collect()}
+    planted = [(i, i + 1000000) for i in range(20)]
+    found = [p for p in planted if p in rows]
+    assert len(found) >= 18, f"only {len(found)}/20 planted near-dups found"
+    assert all(rows[p] > 0.9 for p in found)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """The LSH top-k is approximate; sanity-check recall@5 against the
+    exact path (same-bucket neighbors only -> recall well above 0)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in LLM_QUERIES["llm06_ann_cosine_topk"][0](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in LLM_QUERIES["llm07_ann_cosine_topk_lsh"][0](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, f"LSH recall collapsed: {recall}"
