@@ -17,6 +17,8 @@ from kinesis_alerts_consumer_spark.plans.declared import (
     oracle_sql_for,
     run_declared,
 )
+from kinesis_alerts_consumer_spark.plans.extended import EXT_QUERIES
+from kinesis_alerts_consumer_spark.plans.kayvee_queries import KAYVEE_QUERIES
 from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
 
 
@@ -34,8 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, _n=name: run_declared(spark, sf_dir, _n)
         )
 
-    for name, (fn, _sql) in LLM_QUERIES.items():
-        out[name] = fn
+    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES):
+        for name, (fn, _sql) in group.items():
+            out[name] = fn
 
     return out
 
@@ -45,6 +48,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name in DECLARED_QUERIES:
         out[name] = oracle_sql_for(name)
-    for name, (_fn, sql) in LLM_QUERIES.items():
-        out[name] = sql
+    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES):
+        for name, (_fn, sql) in group.items():
+            out[name] = sql
     return out

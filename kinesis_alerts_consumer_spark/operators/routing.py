@@ -188,13 +188,21 @@ def with_routes(df: DataFrame) -> DataFrame:
     default dims ++ global rules — alerts_consumer.go:92-99) plus the
     mongo derived fields. Adds ``routes`` and ``ignored`` columns."""
     df = with_mongo_fields(df)
+    # explode(array(...)) = generator barrier: the route-assembly
+    # expression (kvmeta transform + three rule predicates over variant
+    # fields) evaluates once per record instead of being inlined into
+    # every downstream reference (see project.with_typed_fields).
     df = df.withColumn(
         "routes",
-        F.concat(
-            kvmeta_alert_routes(),
-            process_metrics_routes(),
-            rds_slow_query_routes(),
-            mongo_slow_query_routes(),
+        F.explode(
+            F.array(
+                F.concat(
+                    kvmeta_alert_routes(),
+                    process_metrics_routes(),
+                    rds_slow_query_routes(),
+                    mongo_slow_query_routes(),
+                )
+            )
         ),
     )
     # F1 ignore filter (alerts_consumer.go:101-103): kept as a column so

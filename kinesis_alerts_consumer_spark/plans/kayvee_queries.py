@@ -1,0 +1,355 @@
+"""Oracle-checked kayvee-pipeline queries: the reference-parity hot
+path (parse -> enrich -> route -> project, SURVEY.md §2A P1-P7/F1-F4)
+driven end-to-end through the driver's correctness gate.
+
+Construction: deterministic syslog/kayvee lines are SYNTHESIZED from
+the ``events`` fixture table with pure column logic, fed through the
+REAL pipeline (`process_lines` -> `dd_points`), and aggregated. The
+DuckDB oracle computes the expected output directly from ``events`` —
+it never parses; it independently derives what the pipeline must
+produce. A disagreement in parsing, routing, dimension coercion,
+value-resolution defaults, typo-fixing, or quarantine precedence
+shows up as a hash mismatch.
+
+Covered reference semantics (citations into /root/reference):
+- kv01: kvmeta alert routes + default dims, dim coercion of string /
+  bool / JSON-number (%.0f), value_field lookup + counter/gauge
+  defaults when absent (alerts_consumer.go:92-99, 126-192).
+- kv02: the mongo slow-query regex rule with derived fields and its
+  two-route fan-out (global_routes.go:88-136).
+- kv03: the process-metrics rule incl. the 'guage' typo fix and
+  series concatenation (global_routes.go:40-74).
+- kv04: record disposition precedence — parse failure / ignored /
+  wrong-typed value quarantine / clean (alerts_consumer.go:55-114,
+  157-192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import process_lines
+from ..operators.project import dd_points, quarantine
+from ..session import configure
+from ..sources import register_tables
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    configure(spark)
+    return register_tables(spark, sf_dir)
+
+
+def _s(col: Column) -> Column:
+    return col.cast("string")
+
+
+def _header(ts_col: Column, host: Column, prog: Column) -> Column:
+    """``<RFC3339-ish ts> <host> <prog>[1]: `` — second precision so the
+    epoch roundtrip is exact (parse truncates to the header text)."""
+    return F.concat(
+        F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(" "), host, F.lit(" "), prog, F.lit("[1]: "),
+    )
+
+
+# ------------------------------------------------ kv01: kvmeta routes
+
+
+def _kv01_lines(events: DataFrame) -> DataFrame:
+    """One kayvee line per event: route series-<id%5>, dims district
+    (string) / flag (bool) / bucket (JSON int), counter on odd ids
+    (gauge even), value_field 'value' except id%5==0 (absent ->
+    counter 1.0 / gauge 0.0 defaults)."""
+    eid = F.col("event_id")
+    body = F.to_json(
+        F.struct(
+            F.col("value").alias("value"),
+            F.concat(F.lit("d"), _s(eid % 3)).alias("district"),
+            (eid % 2 == 0).alias("flag"),
+            F.floor(F.col("value")).cast("long").alias("bucket"),
+            F.struct(
+                F.lit("t").alias("team"),
+                F.array(
+                    F.struct(
+                        F.lit("alerts").alias("type"),
+                        F.concat(F.lit("series-"), _s(eid % 5)).alias("series"),
+                        F.array(
+                            F.lit("district"), F.lit("flag"), F.lit("bucket")
+                        ).alias("dimensions"),
+                        F.when(eid % 2 == 1, F.lit("counter"))
+                        .otherwise(F.lit("gauge"))
+                        .alias("stat_type"),
+                        F.when(eid % 5 != 0, F.lit("value")).alias("value_field"),
+                        F.concat(F.lit("rule-"), _s(eid % 5)).alias("rule"),
+                    )
+                ).alias("routes"),
+            ).alias("_kvmeta"),
+        )
+    )
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), _s(F.col("user_id") % 4), F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+def q_kayvee_route_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    pts = dd_points(process_lines(_kv01_lines(t["events"]), "value", "production"))
+    return (
+        pts.select(
+            "metric", "mtype", F.concat_ws(",", "tags").alias("tags"), "ts", "value"
+        )
+        .groupBy("metric", "mtype", "tags")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("metric", "mtype", "tags")
+    )
+
+
+SQL_KAYVEE_ROUTE_PROJECT = """
+WITH x AS (
+  SELECT 'kv.series-' || (event_id % 5) AS metric,
+         CASE WHEN event_id % 2 = 1 THEN 'count' ELSE 'gauge' END AS mtype,
+         'district:d' || (event_id % 3)
+           || ',flag:' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END)
+           || ',bucket:' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+           || ',Hostname:host' || (event_id % 7)
+           || ',env:production' AS tags,
+         CASE WHEN event_id % 5 = 0
+              THEN (CASE WHEN event_id % 2 = 1 THEN 1.0 ELSE 0.0 END)
+              ELSE value END AS value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+  FROM events)
+SELECT metric, mtype, tags, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM x GROUP BY metric, mtype, tags
+ORDER BY metric, mtype, tags
+"""
+
+
+# ---------------------------------------- kv02: mongo slow-query rule
+
+
+def _kv02_lines(events: DataFrame) -> DataFrame:
+    """Raw (non-JSON) mongo slow-query lines: ``[connN] <op> <ns>
+    <plan> <ms>ms`` — op cycles query/update/remove, every 4th line a
+    COLLSCAN, millis = event_id % 997."""
+    eid = F.col("event_id")
+    op = (
+        F.when(eid % 3 == 0, F.lit("query"))
+        .when(eid % 3 == 1, F.lit("update"))
+        .otherwise(F.lit("remove"))
+    )
+    ns = F.concat(F.lit("db"), _s(eid % 5), F.lit(".coll"), _s(eid % 7))
+    plan = F.when(eid % 4 == 0, F.lit("COLLSCAN")).otherwise(F.lit("IXSCAN"))
+    rawlog = F.concat(
+        F.lit("[conn"), _s(eid), F.lit("] "), op, F.lit(" "), ns,
+        F.lit(" planSummary: "), plan, F.lit(" "), _s(eid % 997), F.lit("ms"),
+    )
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("mongo"), _s(F.col("user_id") % 3)),
+        F.lit("mongod"),
+    )
+    return events.select(F.concat(header, rawlog).alias("value"))
+
+
+def q_kayvee_mongo_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    pts = dd_points(process_lines(_kv02_lines(t["events"]), "value", "production"))
+    return (
+        pts.select(
+            "metric", "mtype", F.concat_ws(",", "tags").alias("tags"), "value"
+        )
+        .groupBy("metric", "mtype", "tags")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("metric", "mtype", "tags")
+    )
+
+
+SQL_KAYVEE_MONGO_RULE = """
+WITH base AS (
+  SELECT 'mongo' || (user_id % 3) AS host,
+         CASE WHEN event_id % 3 = 0 THEN 'query'
+              WHEN event_id % 3 = 1 THEN 'update'
+              ELSE 'remove' END AS op,
+         'db' || (event_id % 5) || '.coll' || (event_id % 7) AS ns,
+         CASE WHEN event_id % 4 = 0 THEN 'true' ELSE 'false' END AS collscan,
+         CAST(event_id % 997 AS DOUBLE) AS ms
+  FROM events),
+x AS (
+  SELECT 'kv.mongo.slow-query' AS metric, 'count' AS mtype,
+         'hostname:' || host || ',operation:' || op || ',namespace:' || ns
+           || ',is_collscan:' || collscan AS tags,
+         1.0 AS value
+  FROM base
+  UNION ALL
+  SELECT 'kv.mongo.slow-query-millis', 'gauge',
+         'hostname:' || host || ',operation:' || op || ',namespace:' || ns
+           || ',is_collscan:' || collscan,
+         ms
+  FROM base)
+SELECT metric, mtype, tags, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM x GROUP BY metric, mtype, tags
+ORDER BY metric, mtype, tags
+"""
+
+
+# -------------------------------------- kv03: process-metrics rule
+
+
+def _kv03_lines(events: DataFrame) -> DataFrame:
+    """Kayvee process-metrics bodies; every 3rd line uses the 'guage'
+    library typo that the rule must normalize to 'gauge'
+    (global_routes.go:61-63)."""
+    eid = F.col("event_id")
+    stat = (
+        F.when(eid % 3 == 0, F.lit("guage"))
+        .when(eid % 3 == 1, F.lit("gauge"))
+        .otherwise(F.lit("counter"))
+    )
+    body = F.to_json(
+        F.struct(
+            F.lit("process-metrics").alias("via"),
+            F.concat(F.lit("src"), _s(eid % 4)).alias("source"),
+            F.concat(F.lit("metric"), _s(eid % 6)).alias("title"),
+            stat.alias("type"),
+            F.col("value").alias("value"),
+        )
+    )
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), _s(F.col("user_id") % 4), F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+def q_kayvee_process_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    pts = dd_points(process_lines(_kv03_lines(t["events"]), "value", "production"))
+    return (
+        pts.select(
+            "metric", "mtype", F.concat_ws(",", "tags").alias("tags"), "value"
+        )
+        .groupBy("metric", "mtype", "tags")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("metric", "mtype", "tags")
+    )
+
+
+SQL_KAYVEE_PROCESS_METRICS = """
+WITH x AS (
+  SELECT 'kv.process-metrics.metric' || (event_id % 6) AS metric,
+         CASE WHEN event_id % 3 = 2 THEN 'count' ELSE 'gauge' END AS mtype,
+         'Hostname:host' || (event_id % 7)
+           || ',env:production,source:src' || (event_id % 4) AS tags,
+         value
+  FROM events)
+SELECT metric, mtype, tags, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM x GROUP BY metric, mtype, tags
+ORDER BY metric, mtype, tags
+"""
+
+
+# ------------------------- kv04: disposition (clean/ignored/quarantine)
+
+
+def _kv04_lines(events: DataFrame) -> DataFrame:
+    """Mixed-disposition lines keyed on event_id % 10:
+    0 -> unparseable garbage (parse failure),
+    1 -> kayvee with zero routes (ignored),
+    2 -> route whose value_field holds a string (wrong-type quarantine),
+    else -> clean counter route."""
+    eid = F.col("event_id")
+    header = _header(
+        F.col("ts"), F.concat(F.lit("host"), _s(eid % 7)), F.lit("prod--app/arn")
+    )
+    clean_body = F.to_json(
+        F.struct(
+            F.col("value").alias("value"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("alerts").alias("type"),
+                        F.lit("disposition").alias("series"),
+                        F.expr("array()").cast("array<string>").alias("dimensions"),
+                        F.lit("counter").alias("stat_type"),
+                        F.lit("value").alias("value_field"),
+                        F.lit("rule-d").alias("rule"),
+                    )
+                ).alias("routes")
+            ).alias("_kvmeta"),
+        )
+    )
+    bad_value_body = F.to_json(
+        F.struct(
+            F.lit("not-a-number").alias("value"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("alerts").alias("type"),
+                        F.lit("disposition").alias("series"),
+                        F.expr("array()").cast("array<string>").alias("dimensions"),
+                        F.lit("counter").alias("stat_type"),
+                        F.lit("value").alias("value_field"),
+                        F.lit("rule-d").alias("rule"),
+                    )
+                ).alias("routes")
+            ).alias("_kvmeta"),
+        )
+    )
+    no_routes_body = F.lit('{"_kvmeta":{"routes":[]}}')
+    line = (
+        F.when(eid % 10 == 0, F.lit("!! not a syslog line !!"))
+        .when(eid % 10 == 1, F.concat(header, no_routes_body))
+        .when(eid % 10 == 2, F.concat(header, bad_value_body))
+        .otherwise(F.concat(header, clean_body))
+    )
+    return events.select(line.alias("value"))
+
+
+def q_kayvee_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    df = process_lines(_kv04_lines(t["events"]), "value", "production")
+    status = (
+        F.when(F.col("error").isNotNull() & ~F.col("line_ok"), F.lit("parse_failure"))
+        .when(F.col("error").isNotNull(), F.lit("quarantined"))
+        .when(F.col("ignored"), F.lit("ignored"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        df.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+SQL_KAYVEE_DISPOSITION = """
+WITH x AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN 'parse_failure'
+              WHEN event_id % 10 = 1 THEN 'ignored'
+              WHEN event_id % 10 = 2 THEN 'quarantined'
+              ELSE 'clean' END AS status
+  FROM events)
+SELECT status, COUNT(*) AS n FROM x GROUP BY status ORDER BY status
+"""
+
+
+KAYVEE_QUERIES: dict[str, tuple] = {
+    "kv01_route_project": (q_kayvee_route_project, SQL_KAYVEE_ROUTE_PROJECT),
+    "kv02_mongo_rule": (q_kayvee_mongo_rule, SQL_KAYVEE_MONGO_RULE),
+    "kv03_process_metrics": (q_kayvee_process_metrics, SQL_KAYVEE_PROCESS_METRICS),
+    "kv04_disposition": (q_kayvee_disposition, SQL_KAYVEE_DISPOSITION),
+}
