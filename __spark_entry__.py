@@ -20,6 +20,9 @@ from kinesis_alerts_consumer_spark.plans.declared import (
 from kinesis_alerts_consumer_spark.plans.extended import EXT_QUERIES
 from kinesis_alerts_consumer_spark.plans.kayvee_queries import KAYVEE_QUERIES
 from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
+from kinesis_alerts_consumer_spark.plans.multimodal_queries import (
+    MULTIMODAL_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, _n=name: run_declared(spark, sf_dir, _n)
         )
 
-    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES):
+    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES, MULTIMODAL_QUERIES):
         for name, (fn, _sql) in group.items():
             out[name] = fn
 
@@ -48,7 +51,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name in DECLARED_QUERIES:
         out[name] = oracle_sql_for(name)
-    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES):
+    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES, MULTIMODAL_QUERIES):
         for name, (_fn, sql) in group.items():
             out[name] = sql
     return out

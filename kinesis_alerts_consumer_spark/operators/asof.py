@@ -23,9 +23,10 @@ sort spills via Tungsten.
 
 Tie semantics: a right row AT the left timestamp matches
 (``>=``, backward inclusive) — right rows sort before left rows on
-equal timestamps. The right side must be unique per (key, ts); callers
-dedupe with a deterministic tie-break first (see
-``plans/extended.py``).
+equal timestamps. When the right side has several rows at the same
+(key, ts), pass ``right_tiebreak`` (a column name); the row sorting
+LAST by it wins — equivalent to pre-deduping with argmax(tiebreak)
+but without the extra (key, ts) shuffle a dedup window would cost.
 """
 
 from __future__ import annotations
@@ -42,12 +43,15 @@ def asof_join_backward(
     left_ts: str = "ts",
     right_ts: str = "ts",
     payload_prefix: str = "r_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right[right_ts] <= left[left_ts]`` on the same ``key``.
 
     Returns all left columns plus every non-key right column renamed
     ``{payload_prefix}{col}`` (null when no right row precedes).
+    ``right_tiebreak`` resolves duplicate right (key, ts) rows: the
+    row with the greatest tiebreak value wins.
     """
     payload_cols = [c for c in right.columns if c not in (key, right_ts)]
     payload = F.struct(
@@ -56,10 +60,14 @@ def asof_join_backward(
     )
 
     left_cols = [c for c in left.columns]
+    # Window order: (ts, side, tiebreak). Right rows (side 0) precede
+    # left rows at equal ts (inclusive >=); among duplicate right
+    # (key, ts) rows the greatest tiebreak sorts last and wins last().
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast("double").alias("_tb"),
         F.struct(*[F.col(c) for c in left_cols]).alias("_lv"),
         F.lit(None).cast(
             right.select(payload.alias("p")).schema["p"].dataType.simpleString()
@@ -69,6 +77,11 @@ def asof_join_backward(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        (
+            F.col(right_tiebreak).cast("double")
+            if right_tiebreak
+            else F.lit(0.0)
+        ).alias("_tb"),
         F.lit(None).cast(
             left.select(
                 F.struct(*[F.col(c) for c in left_cols]).alias("l")
@@ -79,7 +92,7 @@ def asof_join_backward(
 
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_for_compute
+
 # 60-bit integer hash from md5 — portable: Spark conv(hex,16,10),
 # DuckDB ('0x'||hex)::BIGINT. 15 hex chars keeps it positive signed.
 def _hash60(col: Column) -> Column:
@@ -83,7 +85,8 @@ def minhash_signatures(
     """Per-doc MinHash signature: column ``mh{j}`` = min over shingles
     of hash_j(shingle), hash_j(s) = hash60(j || ':' || s)."""
     out = (
-        docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        spread_for_compute(docs)
+        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
         .select("doc_id", shingles_of(F.col("_toks"), shingle).alias("shingles"))
     )
 
@@ -144,7 +147,7 @@ def jaccard_pairs(
     Jaccard computed set-wise: |A ∩ B| / |A ∪ B| over distinct
     shingles, via array_intersect/array_union on deduped arrays.
     """
-    sets = docs.select(
+    sets = spread_for_compute(docs).select(
         "doc_id", _tokens(F.col("text")).alias("_toks")
     ).select(
         "doc_id", F.array_distinct(shingles_of(F.col("_toks"), shingle)).alias("s")
@@ -187,7 +190,7 @@ def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash per doc: bit b of the fingerprint is set when
     the sum over DISTINCT tokens of sign(bit b of hash60(token)) is
     positive. Small enough to stay one expression, portable to SQL."""
-    tok = docs.select(
+    tok = spread_for_compute(docs).select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
     ).withColumn("h", _hash60(F.col("t")))
     aggs = [
@@ -220,7 +223,7 @@ def embedding_near_dup_pairs(
             for i in range(sign_bits)
         ],
     )
-    b = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    b = spread_for_compute(emb).select("vec_id", "embedding", sig.alias("bucket"))
     left = b.alias("l")
     right = b.alias("r")
     pairs = left.join(

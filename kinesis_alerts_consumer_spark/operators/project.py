@@ -40,98 +40,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .allowlist import CLOUDWATCH_ALLOWLIST
+from .fields import resolve_field, with_typed_fields
 from .routing import DEFAULT_DIMENSIONS
 
-# Engine-known record fields -> the engine column backing them: the
-# parse/enrich stage and the mongo rule materialize these as real
-# columns; everything else resolves against the `fields` variant map.
-# Mirrors the merged fields map of the reference (SURVEY.md §1.4).
-# "Hostname" is the reference's capitalized backfill of "hostname"
-# (alerts_consumer.go:105-109) — mapped to the same column because
-# Spark's default case-insensitive resolution forbids both spellings
-# as separate columns.
-_STRING_FIELDS = {
-    "Hostname": "hostname",
-    "hostname": "hostname",
-    "env": "env",
-    "programname": "programname",
-    "container_env": "container_env",
-    "container_app": "container_app",
-    "team": "team",
-    "rawlog": "rawlog",
-    "operation": "operation",
-    "namespace": "namespace",
-}
-_DOUBLE_FIELDS = {"millis": "millis"}
-_BOOL_FIELDS = {"is_collscan": "is_collscan"}
-
-
-def _res(s=None, d=None, b=None, kind="missing"):
-    return F.struct(
-        (s if s is not None else F.lit(None).cast("string")).alias("s"),
-        (d if d is not None else F.lit(None).cast("double")).alias("d"),
-        (b if b is not None else F.lit(None).cast("boolean")).alias("b"),
-        F.lit(kind).alias("kind") if isinstance(kind, str) else kind.alias("kind"),
-    )
-
-
-def _typed(v: Column) -> Column:
-    """One variant value -> typed struct<s,d,b,kind> (the reference's
-    type switch, alerts_consumer.go:130-146)."""
-    sch = F.schema_of_variant(v)
-    return (
-        F.when(sch == "STRING", _res(s=v.cast("string"), kind="string"))
-        .when(sch == "BOOLEAN", _res(b=v.cast("boolean"), kind="bool"))
-        .when(
-            sch.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"),
-            _res(d=v.cast("double"), kind="double"),
-        )
-        # OBJECT / ARRAY / VOID(JSON null): reference errors on these.
-        .otherwise(_res(s=v.cast("string"), kind=F.lit("other")))
-    )
-
-
-def with_typed_fields(df: DataFrame) -> DataFrame:
-    """Materialize ``fields_typed: map<string, struct<s,d,b,kind>>`` —
-    the variant type-dispatch runs ONCE per field per record here,
-    instead of once per dimension lookup inside every copy of the
-    route-eval expression. The ``explode(array(...))`` wrapper is a
-    deliberate optimizer barrier: CollapseProject inlines plain
-    projections into every downstream reference (observed: the full
-    variant dispatch re-evaluated per output column -> heap exhaustion
-    on a 1 GiB driver), while a Generate output attribute is computed
-    exactly once per row."""
-    typed = F.transform_values(F.col("fields"), lambda k, v: _typed(v))
-    return df.withColumn("fields_typed", F.explode(F.array(typed)))
-
-
-def _resolve(name: Column) -> Column:
-    """Resolve a field name -> struct<s,d,b,kind> where kind is one of
-    'string'|'double'|'bool'|'missing'|'other'. 'other' reproduces the
-    reference's hard-error branch (alerts_consumer.go:141-145).
-    Requires :func:`with_typed_fields`."""
-    # Engine-materialized columns take precedence (null column == absent
-    # field, e.g. mongo fields on non-mongo records).
-    known = None
-    for field, col_name in _STRING_FIELDS.items():
-        c = F.col(col_name)
-        branch = F.when(c.isNotNull(), _res(s=c, kind="string")).otherwise(_res())
-        known = F.when(name == field, branch) if known is None else known.when(
-            name == field, branch
-        )
-    for field, col_name in _DOUBLE_FIELDS.items():
-        c = F.col(col_name)
-        branch = F.when(c.isNotNull(), _res(d=c, kind="double")).otherwise(_res())
-        known = known.when(name == field, branch)
-    for field, col_name in _BOOL_FIELDS.items():
-        c = F.col(col_name)
-        branch = F.when(c.isNotNull(), _res(b=c, kind="bool")).otherwise(_res())
-        known = known.when(name == field, branch)
-
-    from_map = F.coalesce(
-        F.element_at(F.col("fields_typed"), F.coalesce(name, F.lit(""))), _res()
-    )
-    return known.otherwise(from_map)
+_resolve = resolve_field
 
 
 def _coerce_tag_value(r: Column) -> Column:
@@ -255,7 +167,8 @@ def project_routes(df: DataFrame) -> DataFrame:
     per record — without it CollapseProject inlines a full copy into
     error/tag/dd_metrics/cw_metrics each (see ``with_typed_fields``).
     """
-    df = with_typed_fields(df)
+    if "fields_typed" not in df.columns:
+        df = with_typed_fields(df)
     df = df.withColumn(
         "evaled", F.explode(F.array(F.transform(F.col("routes"), _eval_route)))
     )

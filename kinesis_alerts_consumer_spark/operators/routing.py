@@ -33,6 +33,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fields import field_str as _field_str
+from .fields import with_typed_fields
+
 DEFAULT_DIMENSIONS = ("Hostname", "env")
 
 # Same pattern text as the reference (global_routes.go:88). Java regex
@@ -64,14 +67,6 @@ def _route(
         ),
         F.lit(rule).alias("rule"),
     )
-
-
-def _field_str(name: str) -> Column:
-    """Body field as string iff its JSON type is string (Go type assert
-    ``fields[k].(string)`` — non-strings behave as absent)."""
-    v = F.col("fields").getItem(name)
-    return F.when(F.expr(f"schema_of_variant(fields['{name}'])") == "STRING",
-                  v.cast("string"))
 
 
 def kvmeta_alert_routes() -> Column:
@@ -188,6 +183,7 @@ def with_routes(df: DataFrame) -> DataFrame:
     default dims ++ global rules — alerts_consumer.go:92-99) plus the
     mongo derived fields. Adds ``routes`` and ``ignored`` columns."""
     df = with_mongo_fields(df)
+    df = with_typed_fields(df)
     # explode(array(...)) = generator barrier: the route-assembly
     # expression (kvmeta transform + three rule predicates over variant
     # fields) evaluates once per record instead of being inlined into

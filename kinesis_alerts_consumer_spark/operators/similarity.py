@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_for_compute
+
 
 def _d(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -62,6 +64,7 @@ def cosine_topk(
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
+    emb = spread_for_compute(emb)
     scored = (
         F.broadcast(queries)
         .join(
@@ -115,7 +118,7 @@ def cosine_topk_lsh(
             for i in range(sign_bits)
         ],
     )
-    b = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    b = spread_for_compute(emb).select("vec_id", "embedding", sig.alias("bucket"))
     probes = [F.col("qb")]
     if probe_radius >= 1:
         probes += [_flip_bit(F.col("qb"), i + 1) for i in range(sign_bits)]

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_for_compute
+
 # Tiny per-language stopword profiles for the n-gram/stopword
 # language-ID heuristic. Deterministic and SQL-expressible.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -29,6 +31,7 @@ def _tokens(text: Column) -> Column:
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token statistics: whitespace tokens, distinct tokens,
     chars, mean token length (BPE-ish proxy: alnum runs)."""
+    docs = spread_for_compute(docs)
     toks = _tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -47,6 +50,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-doc quality heuristics: stopword ratio, punctuation ratio,
     repetition (1 - distinct/total), composite score. The score is an
     explicit arithmetic expression so it is portable to the oracle."""
+    docs = spread_for_compute(docs)
     toks = _tokens(F.col("text"))
     stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n = F.size(toks)
@@ -78,6 +82,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     -> 'und'. (The fixture text is synthetic word soup, so this
     demonstrates the mechanism — on real corpora swap in real
     profiles or a fastText-style model via pandas_udf.)"""
+    docs = spread_for_compute(docs)
     toks = _tokens(F.col("text"))
     scores = []
     for lang in sorted(LANG_STOPWORDS):
@@ -112,6 +117,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase
     text (exact-dup key) and a prefix hash of the first 8 tokens
     (rolling-hash analogue for clustering near-identical heads)."""
+    docs = spread_for_compute(docs)
     normalized = F.lower(
         F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     )

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join_backward
 from ..session import configure
@@ -26,28 +25,19 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # ---------------------------------------------------------- as-of join
 
 
-def _purchases(events: DataFrame) -> DataFrame:
-    """Purchase events, deduped to one row per (user_id, ts) with a
-    deterministic tie-break (max event_id) — the as-of right side."""
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    return (
-        events.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts", "event_id", "value")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: each event joined to the same user's most
-    recent purchase at-or-before its timestamp (backward as-of)."""
+    recent purchase at-or-before its timestamp (backward as-of).
+    Duplicate right (user, ts) rows resolve via the in-window
+    tiebreak (max purchase_id) — no pre-dedup shuffle."""
     t = _tables(spark, sf_dir)
     ev = t["events"].select("event_id", "user_id", "ts")
-    pur = _purchases(t["events"]).select(
+    pur = t["events"].filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value")
     )
-    joined = asof_join_backward(ev, pur, key="user_id")
+    joined = asof_join_backward(
+        ev, pur, key="user_id", right_tiebreak="purchase_id"
+    )
     return joined.select(
         "event_id",
         "user_id",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import process_lines
 from ..operators.project import dd_points, quarantine
+from ..operators.util import spread_for_compute
 from ..session import configure
 from ..sources import register_tables
 
@@ -61,6 +62,7 @@ def _kv01_lines(events: DataFrame) -> DataFrame:
     (string) / flag (bool) / bucket (JSON int), counter on odd ids
     (gauge even), value_field 'value' except id%5==0 (absent ->
     counter 1.0 / gauge 0.0 defaults)."""
+    events = spread_for_compute(events)
     eid = F.col("event_id")
     body = F.to_json(
         F.struct(
@@ -142,6 +144,7 @@ def _kv02_lines(events: DataFrame) -> DataFrame:
     """Raw (non-JSON) mongo slow-query lines: ``[connN] <op> <ns>
     <plan> <ms>ms`` — op cycles query/update/remove, every 4th line a
     COLLSCAN, millis = event_id % 997."""
+    events = spread_for_compute(events)
     eid = F.col("event_id")
     op = (
         F.when(eid % 3 == 0, F.lit("query"))
@@ -211,6 +214,7 @@ def _kv03_lines(events: DataFrame) -> DataFrame:
     """Kayvee process-metrics bodies; every 3rd line uses the 'guage'
     library typo that the rule must normalize to 'gauge'
     (global_routes.go:61-63)."""
+    events = spread_for_compute(events)
     eid = F.col("event_id")
     stat = (
         F.when(eid % 3 == 0, F.lit("guage"))
@@ -271,6 +275,7 @@ def _kv04_lines(events: DataFrame) -> DataFrame:
     1 -> kayvee with zero routes (ignored),
     2 -> route whose value_field holds a string (wrong-type quarantine),
     else -> clean counter route."""
+    events = spread_for_compute(events)
     eid = F.col("event_id")
     header = _header(
         F.col("ts"), F.concat(F.lit("host"), _s(eid % 7)), F.lit("prod--app/arn")

@@ -1,0 +1,115 @@
+"""Multimodal-column queries through the driver's correctness gate.
+
+The media table is synthesized from ``documents`` (payload = UTF-8
+bytes of the text), so the Arrow-batched ``mapInPandas`` feature
+extraction — the REAL scale plumbing for opaque binary columns — runs
+end-to-end and is still oracle-checkable: the stub decode derives
+features from the payload's md5 (operators/multimodal.py), which
+DuckDB reproduces with its own ``md5`` over the same bytes.
+
+mm01 exercises the mapInPandas path itself (schema, batch shape,
+payload projection); mm02/mm03 exercise the pure-column planning ops
+(frame sampling offsets, aspect-preserving resize targets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ..session import configure
+from ..sources import register_tables
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    configure(spark)
+    return register_tables(spark, sf_dir)
+
+
+def _media(docs: DataFrame) -> DataFrame:
+    """documents -> media rows: text bytes as the opaque payload plus
+    deterministic typed metadata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video/mp4"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.lit(640) + (F.col("doc_id") % 5) * 160).cast("int").alias("width"),
+        F.lit(480).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    feats = M.extract_features(_media(t["documents"]))
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "checksum",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.round("feat_std", 6).alias("feat_std"),
+    ).orderBy("media_id")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
+            WHEN doc_id % 3 = 1 THEN 'image/png'
+            ELSE 'audio/wav' END AS mime,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS checksum,
+       ROUND(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+             / 4294967296.0, 6) AS feat_mean,
+       ROUND(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)
+             / 4294967296.0, 6) AS feat_std
+FROM documents ORDER BY media_id
+"""
+
+
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    frames = M.frame_sample(_media(t["documents"]), every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_offset_ms").alias("last_offset_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_FRAME_PLAN = """
+SELECT doc_id AS media_id,
+       (n_chars * 10 - 1) // 1000 + 1 AS n_frames,
+       ((n_chars * 10 - 1) // 1000) * 1000 AS last_offset_ms
+FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+"""
+
+
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return M.resize_plan(_media(t["documents"]), max_side=512).orderBy("media_id")
+
+
+SQL_RESIZE_PLAN = """
+SELECT doc_id AS media_id,
+       640 + (doc_id % 5) * 160 AS width,
+       480 AS height,
+       512 AS target_width,
+       CAST(round(480.0 * (512.0 / (640 + (doc_id % 5) * 160))) AS INT)
+         AS target_height
+FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
+"""
+
+
+MULTIMODAL_QUERIES: dict[str, tuple] = {
+    "mm01_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "mm02_frame_plan": (q_frame_plan, SQL_FRAME_PLAN),
+    "mm03_resize_plan": (q_resize_plan, SQL_RESIZE_PLAN),
+}

@@ -39,6 +39,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / applyInPandas path (similarity, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fields.with_typed_fields merges engine columns over body fields
+    # with map_concat; LAST_WIN makes the later (engine) entry win.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 # Confs that must be set before the JVM/session exists.

@@ -1,0 +1,77 @@
+"""Batch source/sink format support beyond parquet: CSV, JSON-lines,
+and raw text (the kayvee line format), plus the matching writers.
+
+These are thin, schema-explicit wrappers over the Spark readers —
+the value is the pinned options (header/timestamp handling) and the
+round-trip guarantees the tests assert. At scale every reader here
+splits by file and by block (CSV/JSON are splittable uncompressed;
+use zstd parquet for the real pipeline — these exist for ingest
+interchange, not as the storage format).
+
+Reference tie-in: the engine's ingest format is raw syslog lines
+(read_lines); CSV/JSON cover the interchange surface SURVEY.md §2C
+declares for the engine beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV with explicit schema (inference reads the data twice and
+    guesses types — never in production paths)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines with explicit schema; corrupt records are captured in
+    ``_corrupt_record`` (PERMISSIVE) rather than failing the scan —
+    the batch analogue of the pipeline's quarantine path."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text lines (column ``value``) — the kayvee ingest format."""
+    return spark.read.text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Parquet writer; ``partition_by`` lays out hive-style directories
+    so downstream scans partition-prune (the 100 TB layout: partition
+    on the dominant filter columns, e.g. date / env)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

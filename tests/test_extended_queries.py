@@ -6,11 +6,14 @@ import pytest
 
 from kinesis_alerts_consumer_spark.plans.extended import EXT_QUERIES
 from kinesis_alerts_consumer_spark.plans.kayvee_queries import KAYVEE_QUERIES
+from kinesis_alerts_consumer_spark.plans.multimodal_queries import (
+    MULTIMODAL_QUERIES,
+)
 
 from .comparison import assert_frames_match
 from .conftest import SF_SMOKE
 
-ALL = {**EXT_QUERIES, **KAYVEE_QUERIES}
+ALL = {**EXT_QUERIES, **KAYVEE_QUERIES, **MULTIMODAL_QUERIES}
 
 
 @pytest.mark.parametrize("name", sorted(ALL))

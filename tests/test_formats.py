@@ -1,0 +1,81 @@
+"""Source/sink format round-trips: CSV, JSON-lines, partitioned
+parquet (with partition pruning assertion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_alerts_consumer_spark.sources import register_tables
+from kinesis_alerts_consumer_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_lines,
+    write_csv,
+    write_jsonl,
+    write_parquet,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _orders(spark):
+    return register_tables(spark, SF_SMOKE)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = _orders(spark)
+    path = str(tmp_path / "orders_csv")
+    write_csv(src, path)
+    back = read_csv(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    assert _canon(back) == _canon(src)
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    src = _orders(spark)
+    path = str(tmp_path / "orders_json")
+    write_jsonl(src, path)
+    back = read_jsonl(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    assert _canon(back) == _canon(src)
+
+    # corrupt line -> captured row, not a failed scan
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text('{"a": 1}\nnot json at all\n')
+    got = read_jsonl(spark, str(bad), schema="a bigint, _corrupt_record string")
+    rows = got.collect()
+    assert len(rows) == 2
+    assert sum(r._corrupt_record is not None for r in rows) == 1
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    src = _orders(spark)
+    path = str(tmp_path / "orders_part")
+    write_parquet(src, path, partition_by=("o_orderstatus",))
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    want = src.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    assert _canon(pruned.drop("o_orderstatus")) == _canon(want)
+
+
+def test_read_lines(spark, tmp_path):
+    p = tmp_path / "lines"
+    p.mkdir()
+    (p / "a.txt").write_text("one\ntwo\n")
+    assert {r.value for r in read_lines(spark, str(p)).collect()} == {"one", "two"}

@@ -1,0 +1,77 @@
+"""Physical-plan quality assertions — the 100 TB posture checks.
+
+These pin the plan properties that make the engine scale, so a
+regression (lost pushdown, broadcast turned shuffle, extra exchange)
+fails CI rather than shipping:
+
+- filters and column pruning reach the parquet scan;
+- small-dimension joins broadcast (no shuffle of the big side);
+- the as-of join costs exactly its minimum: one shuffle for the keyed
+  window plus the final presentation sort;
+- narrow pipelines whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_alerts_consumer_spark.plans.declared import DECLARED_QUERIES
+from kinesis_alerts_consumer_spark.plans.extended import EXT_QUERIES
+from kinesis_alerts_consumer_spark.sources import register_tables
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_pruning_pushed_to_scan(spark):
+    register_tables(spark, SF_SMOKE)
+    plan = _plan(spark.sql(DECLARED_QUERIES["dq01_filter_project"]))
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    # projection pruning: the scan must not read all 11 lineitem cols
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_extendedprice" not in scan_line and "l_tax" not in scan_line
+
+
+def test_dim_joins_broadcast(spark):
+    register_tables(spark, SF_SMOKE)
+    plan = _plan(spark.sql(DECLARED_QUERIES["dq02_join_agg"]))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_data_shuffle(spark):
+    register_tables(spark, SF_SMOKE)
+    df = EXT_QUERIES["ext01_asof_join"][0](spark, SF_SMOKE)
+    plan = _plan(df)
+    # one hashpartitioning exchange (the keyed window) + the final
+    # rangepartitioning for ORDER BY — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_narrow_pipeline_codegens(spark):
+    register_tables(spark, SF_SMOKE)
+    plan = _plan(spark.sql(DECLARED_QUERIES["dq01_filter_project"]))
+    # '*(n)' prefixes mark operators fused into a WholeStageCodegen span
+    assert "*(1) Project" in plan and "*(1) Filter" in plan
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    """EXISTS / NOT EXISTS must plan as semi/anti joins, not
+    subquery-per-row."""
+    register_tables(spark, SF_SMOKE)
+    semi = _plan(spark.sql(DECLARED_QUERIES["dq08_semi_join"]))
+    anti = _plan(spark.sql(DECLARED_QUERIES["dq11_anti_join"]))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_events_filter_pushdown_survives_ts_normalization(spark):
+    """The ts DIV-1000 normalization wraps the events scan in a
+    projection; filters on OTHER columns must still push down."""
+    t = register_tables(spark, SF_SMOKE)
+    plan = _plan(t["events"].filter(F.col("event_type") == "click"))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
