@@ -23,6 +23,9 @@ from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
 from kinesis_alerts_consumer_spark.plans.multimodal_queries import (
     MULTIMODAL_QUERIES,
 )
+from kinesis_alerts_consumer_spark.plans.streaming_queries import (
+    STREAMING_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,7 +42,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, _n=name: run_declared(spark, sf_dir, _n)
         )
 
-    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES, MULTIMODAL_QUERIES):
+    for group in (
+        LLM_QUERIES,
+        EXT_QUERIES,
+        KAYVEE_QUERIES,
+        MULTIMODAL_QUERIES,
+        STREAMING_QUERIES,
+    ):
         for name, (fn, _sql) in group.items():
             out[name] = fn
 
@@ -51,7 +60,14 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name in DECLARED_QUERIES:
         out[name] = oracle_sql_for(name)
-    for group in (LLM_QUERIES, EXT_QUERIES, KAYVEE_QUERIES, MULTIMODAL_QUERIES):
+    for group in (
+        LLM_QUERIES,
+        EXT_QUERIES,
+        KAYVEE_QUERIES,
+        MULTIMODAL_QUERIES,
+        STREAMING_QUERIES,
+    ):
         for name, (_fn, sql) in group.items():
-            out[name] = sql
+            if sql is not None:  # rows-only entries (approx aggregates)
+                out[name] = sql
     return out

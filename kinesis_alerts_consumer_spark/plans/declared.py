@@ -136,6 +136,60 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT user_id, MAX(ts) AS last_ts, MIN(ts) AS first_ts, COUNT(*) AS n
 FROM events GROUP BY user_id ORDER BY user_id
 """,
+    # full CUBE over two dims
+    "dq17_cube": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    # string scalar family (1-based substr in both engines)
+    "dq18_string_functions": """
+SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+       substr(c_name, 3, 8) AS mid, replace(c_name, '0', 'x') AS rep,
+       length(c_name) AS len, trim(concat('  ', c_name, ' ')) AS trimmed
+FROM customer ORDER BY c_custkey LIMIT 100
+""",
+    # date/time extraction family (dayofweek excluded: Spark is
+    # 1=Sunday, DuckDB 0=Sunday — not verbatim-portable)
+    "dq19_date_functions": """
+SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+       day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+FROM orders ORDER BY o_orderkey LIMIT 100
+""",
+    # correlated scalar subquery
+    "dq20_correlated_scalar": """
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer ORDER BY c_custkey LIMIT 200
+""",
+    # window frame: bounded ROWS running aggregate
+    "dq21_window_frames": """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+         AS run3,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS runavg
+FROM events ORDER BY event_id LIMIT 200
+""",
+    # HAVING + count distinct
+    "dq22_having": """
+SELECT o_custkey, COUNT(*) AS n, COUNT(DISTINCT o_orderstatus) AS statuses
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+ORDER BY o_custkey LIMIT 200
+""",
+    # full outer join of two aggregates
+    "dq23_full_outer": """
+SELECT COALESCE(a.k, b.k) AS k, a.na, b.nb
+FROM (SELECT o_custkey AS k, COUNT(*) AS na FROM orders GROUP BY o_custkey) a
+FULL OUTER JOIN
+     (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer
+      WHERE c_acctbal > 5000 GROUP BY c_custkey) b
+  ON a.k = b.k
+ORDER BY k LIMIT 200
+""",
 }
 
 # DuckDB-dialect twins for queries that are NOT verbatim-portable.

@@ -150,9 +150,51 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ----------------------------- approximate aggregates (rows-only)
+# HLL / GK-sketch results are engine-specific by design — declared as
+# capabilities with a rows-only driver check (SURVEY.md §2B
+# exclusions); sanity bounds are asserted in tests instead.
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").alias(
+                "q"
+            )
+        )
+        .select(
+            "event_type",
+            F.col("q").getItem(0).alias("p50"),
+            F.col("q").getItem(1).alias("p90"),
+            F.col("q").getItem(2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "ext01_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "ext02_range_join": (q_range_join, SQL_RANGE_JOIN),
     "ext03_pivot": (q_pivot, SQL_PIVOT),
     "ext04_percentiles": (q_percentiles, SQL_PERCENTILES),
+    # rows-only (no oracle): approximate by construction
+    "ext05_approx_distinct": (q_approx_distinct, None),
+    "ext06_approx_quantiles": (q_approx_quantiles, None),
 }

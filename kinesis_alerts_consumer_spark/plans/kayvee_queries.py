@@ -352,9 +352,86 @@ SELECT status, COUNT(*) AS n FROM x GROUP BY status ORDER BY status
 """
 
 
+
+
+# ----------------------- vol01/vol02: A1 volume rollups (metrics.go)
+
+
+def _vol_lines(events: DataFrame) -> DataFrame:
+    """Lines for the volume rollup: body built by string concat with
+    ONLY string/int parts, so the DuckDB oracle reproduces the exact
+    byte length (no float rendering divergence)."""
+    events = spread_for_compute(events)
+    eid = F.col("event_id")
+    body = F.concat(
+        F.lit('{"team":"team-'), _s(eid % 3),
+        F.lit('","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"s",'
+              '"dimensions":[],"stat_type":"counter","rule":"rule-'),
+        _s(eid % 5),
+        F.lit('"}]}}'),
+    )
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), _s(F.col("user_id") % 4), F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+_VOL_LINE_DUCK = """
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' host' || (event_id % 7)
+    || ' prod--app' || (user_id % 4) || '/arn[1]: '
+    || '{"team":"team-' || (event_id % 3)
+    || '","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"s","dimensions":[],"stat_type":"counter","rule":"rule-'
+    || (event_id % 5) || '"}]}}'
+"""
+
+
+def q_log_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup: counts + byte sums by (env, app, team) — env/app from
+    the ECS programname, team from the body (metrics.go:48-89)."""
+    from ..operators.volume import log_volume
+    from ..functions.kayvee import parse_lines
+
+    t = _tables(spark, sf_dir)
+    parsed = parse_lines(_vol_lines(t["events"]), "value", "production")
+    return log_volume(parsed).orderBy("env", "app", "team")
+
+
+SQL_LOG_VOLUME = f"""
+WITH x AS (
+  SELECT 'prod' AS env, 'app' || (user_id % 4) AS app,
+         'team-' || (event_id % 3) AS team,
+         octet_length(CAST(({_VOL_LINE_DUCK}) AS BLOB)) AS nb
+  FROM events)
+SELECT env, app, team, COUNT(*) AS cnt, SUM(nb) AS size
+FROM x GROUP BY env, app, team ORDER BY env, app, team
+"""
+
+
+def q_log_route_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-rule rollup: (app, env, rule) counts over kvmeta route
+    rule names (metrics.go:62-66, 84-87)."""
+    from ..operators.volume import log_route_volume
+    from ..functions.kayvee import parse_lines
+
+    t = _tables(spark, sf_dir)
+    parsed = parse_lines(_vol_lines(t["events"]), "value", "production")
+    return log_route_volume(parsed).orderBy("app", "env", "rule")
+
+
+SQL_LOG_ROUTE_VOLUME = """
+SELECT 'app' || (user_id % 4) AS app, 'prod' AS env,
+       'rule-' || (event_id % 5) AS rule, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2, 3 ORDER BY app, env, rule
+"""
+
+
 KAYVEE_QUERIES: dict[str, tuple] = {
     "kv01_route_project": (q_kayvee_route_project, SQL_KAYVEE_ROUTE_PROJECT),
     "kv02_mongo_rule": (q_kayvee_mongo_rule, SQL_KAYVEE_MONGO_RULE),
     "kv03_process_metrics": (q_kayvee_process_metrics, SQL_KAYVEE_PROCESS_METRICS),
     "kv04_disposition": (q_kayvee_disposition, SQL_KAYVEE_DISPOSITION),
+    "vol01_log_volume": (q_log_volume, SQL_LOG_VOLUME),
+    "vol02_log_route_volume": (q_log_route_volume, SQL_LOG_ROUTE_VOLUME),
 }
