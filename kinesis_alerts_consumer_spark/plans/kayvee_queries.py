@@ -427,6 +427,65 @@ FROM events GROUP BY 1, 2, 3 ORDER BY app, env, rule
 """
 
 
+
+
+# ------------------------ kv05: config-driven rules (kvconfig / K3)
+
+
+def _kv05_lines(events: DataFrame) -> DataFrame:
+    """Self-instrumentation-style kayvee bodies routed ONLY by config
+    rules: title cycles stats / error-sending-to-cloudwatch / other
+    (the last matches no rule -> ignored)."""
+    events = spread_for_compute(events)
+    eid = F.col("event_id")
+    title = (
+        F.when(eid % 3 == 0, F.lit("stats"))
+        .when(eid % 3 == 1, F.lit("error-sending-to-cloudwatch"))
+        .otherwise(F.lit("heartbeat"))
+    )
+    body = F.to_json(F.struct(title.alias("title"), F.col("value").alias("value")))
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), _s(F.col("user_id") % 4), F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+def q_kayvee_config_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.kayvee import parse_lines
+    from ..operators.routing import with_routes
+    from ..operators.rules import SELF_INSTRUMENTATION_RULES, with_config_routes
+    from ..operators.project import project_routes
+
+    t = _tables(spark, sf_dir)
+    df = with_config_routes(
+        with_routes(parse_lines(_kv05_lines(t["events"]), "value", "production")),
+        SELF_INSTRUMENTATION_RULES,
+    )
+    pts = dd_points(project_routes(df))
+    return (
+        pts.select("metric", "mtype", F.concat_ws(",", "tags").alias("tags"))
+        .groupBy("metric", "mtype", "tags")
+        .agg(F.count("*").alias("n"))
+        .orderBy("metric", "mtype", "tags")
+    )
+
+
+SQL_KAYVEE_CONFIG_RULES = """
+WITH x AS (
+  SELECT CASE WHEN event_id % 3 = 0
+              THEN 'kv.kinesis-alerts-consumer.stats'
+              WHEN event_id % 3 = 1
+              THEN 'kv.kinesis-alerts-consumer.cloudwatch-errors'
+              END AS metric,
+         'Hostname:host' || (event_id % 7) || ',env:production' AS tags
+  FROM events WHERE event_id % 3 < 2)
+SELECT metric, 'count' AS mtype, tags, COUNT(*) AS n
+FROM x GROUP BY metric, tags ORDER BY metric, mtype, tags
+"""
+
+
 KAYVEE_QUERIES: dict[str, tuple] = {
     "kv01_route_project": (q_kayvee_route_project, SQL_KAYVEE_ROUTE_PROJECT),
     "kv02_mongo_rule": (q_kayvee_mongo_rule, SQL_KAYVEE_MONGO_RULE),
@@ -434,4 +493,5 @@ KAYVEE_QUERIES: dict[str, tuple] = {
     "kv04_disposition": (q_kayvee_disposition, SQL_KAYVEE_DISPOSITION),
     "vol01_log_volume": (q_log_volume, SQL_LOG_VOLUME),
     "vol02_log_route_volume": (q_log_route_volume, SQL_LOG_ROUTE_VOLUME),
+    "kv05_config_rules": (q_kayvee_config_rules, SQL_KAYVEE_CONFIG_RULES),
 }

@@ -1,0 +1,169 @@
+"""Property-based tests (SURVEY.md §5.2 item 4): the per-record
+semantics hold for ARBITRARY JSON scalars, not just the golden
+fixtures.
+
+- dimension coercion is a total function: every JSON value type either
+  yields the documented tag string or quarantines the record — never
+  crashes, never drops silently (except documented missing-field skip);
+- value resolution: numbers pass through, strings/bools/null
+  quarantine, missing applies the counter/gauge default;
+- route fan-out: dd point count == kvmeta 'alerts' routes (others
+  ignored).
+
+Each hypothesis example builds ONE DataFrame of records (batching keeps
+the Spark-job count low); expectations are computed independently in
+Python, with Java's HALF_UP %.0f semantics for number dims (the engine
+documents the divergence from Go's half-even — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kinesis_alerts_consumer_spark.operators.project import dd_points, quarantine
+from kinesis_alerts_consumer_spark.pipeline import process_lines
+
+HEADER = "2017-08-15T18:39:07+00:00 host1 prod--app/arn[1]: "
+
+scalar = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+        ),
+        max_size=12,
+    ),
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    st.booleans(),
+    st.none(),
+    st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+    st.dictionaries(st.sampled_from(["a", "b"]), st.integers(0, 9), max_size=2),
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _mk_line(body: dict) -> str:
+    return HEADER + json.dumps(body)
+
+
+def _route(value_field=None, dims=("x",), stat="counter"):
+    return {
+        "type": "alerts",
+        "series": "s",
+        "dimensions": list(dims),
+        "stat_type": stat,
+        "value_field": value_field,
+        "rule": "r",
+    }
+
+
+def _java_format_0f(x: float) -> str:
+    """Java Formatter %.0f: HALF_UP on the exact binary double value."""
+    d = Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    return str(d)
+
+
+def _expected_dim(v):
+    """-> ('tag', text) | ('skip', None) | ('error', None)."""
+    if isinstance(v, bool):
+        return ("tag", "true" if v else "false")
+    if isinstance(v, (int, float)):
+        # JSON numbers arrive as float64 in the reference
+        return ("tag", _java_format_0f(float(v)))
+    if isinstance(v, str):
+        return ("tag", v)
+    return ("error", None)  # null / object / array -> record error
+
+
+@given(vals=st.lists(scalar, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_dim_coercion_total(spark, vals):
+    lines, want = [], []
+    for i, v in enumerate(vals):
+        body = {"_kvmeta": {"routes": [_route()]}}
+        if v is not None or True:  # JSON null is a value, keep it
+            body["x"] = v
+        lines.append(_mk_line(body))
+        want.append(_expected_dim(v))
+
+    df = process_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        "value",
+        "test-env",
+    )
+    pts = {
+        tuple(r.tags): r
+        for r in dd_points(df).collect()
+    }
+    n_quar = quarantine(df).count()
+
+    want_errors = sum(1 for k, _ in want if k == "error")
+    assert n_quar == want_errors
+    assert len(pts) + n_quar >= 1  # total: every record lands somewhere
+    got_tags = sorted(t[0] for t in pts if t)
+    want_tags = sorted(
+        f"x:{txt}" for k, txt in want if k == "tag"
+    )
+    # duplicate tag values collapse in the dict; compare as sets
+    assert set(got_tags) == set(want_tags)
+
+
+@given(
+    vals=st.lists(scalar, min_size=1, max_size=25),
+    stat=st.sampled_from(["counter", "gauge"]),
+)
+@settings(**_SETTINGS)
+def test_value_resolution(spark, vals, stat):
+    lines, want = [], []
+    for v in vals:
+        body = {"_kvmeta": {"routes": [_route(value_field="v", stat=stat)]}}
+        body["v"] = v
+        lines.append(_mk_line(body))
+        if isinstance(v, bool) or isinstance(v, (str, list, dict)) or v is None:
+            want.append(("error", None))
+        else:
+            want.append(("value", float(v)))
+
+    df = process_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        "value",
+        "test-env",
+    )
+    got_vals = sorted(r.value for r in dd_points(df).collect())
+    want_vals = sorted(v for k, v in want if k == "value")
+    assert quarantine(df).count() == sum(1 for k, _ in want if k == "error")
+    assert len(got_vals) == len(want_vals)
+    for g, w in zip(got_vals, want_vals):
+        assert math.isclose(g, w, rel_tol=0, abs_tol=0), (g, w)
+
+
+@given(
+    n_alerts=st.integers(min_value=0, max_value=5),
+    n_other=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_route_fanout_count(spark, n_alerts, n_other):
+    routes = [_route(dims=()) for _ in range(n_alerts)]
+    routes += [
+        {"type": "notifications", "channel": "#c", "rule": f"n{i}"}
+        for i in range(n_other)
+    ]
+    line = _mk_line({"_kvmeta": {"routes": routes}})
+    df = process_lines(
+        spark.createDataFrame([(line,)], "value string"), "value", "test-env"
+    )
+    assert dd_points(df).count() == n_alerts
+    if n_alerts == 0:
+        assert df.filter("ignored").count() == 1
