@@ -79,7 +79,83 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 """
 
 
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals; after the bounded replay the final state per key
+    must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_user_totals
+
+    configure(spark)
+    name = "st_" + uuid.uuid4().hex[:12]
+    q = (
+        running_user_totals(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # running counts are monotone: the max per user is the final state
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: the replay injects a duplicate of
+    every record (explode x2); the deduped sink must match the plain
+    batch profile."""
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    doubled = (
+        stream_events(spark, sf_dir)
+        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+    )
+    name = "st_" + uuid.uuid4().hex[:12]
+    q = (
+        doubled.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "st01_stream_hourly_rollup": (q_stream_hourly_rollup, SQL_STREAM_HOURLY),
     "st02_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "st03_stream_stateful_totals": (q_stream_stateful_totals, SQL_STREAM_STATEFUL),
+    "st04_stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
 }
