@@ -89,6 +89,103 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with deterministic centroids (the
+    ``n_centroids`` lowest-id vectors — swap for k-means output in
+    production; the *structure* is identical and this keeps the oracle
+    exact). Returns (centroids, assignments) where every vector maps
+    to its max-cosine centroid (ties -> lowest centroid id).
+
+    Scale shape: centroids broadcast; assignment is ONE narrow pass
+    over the vectors (argmax over a few dot products per row) — the
+    inverted lists then bound every query to nprobe clusters.
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        emb.select(id_col, "embedding")
+        .join(F.broadcast(cents))
+        .select(
+            id_col,
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("ce")).alias("ccos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+    return cents, assign
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe``
+    closest centroids and scores only vectors assigned to them.
+    Candidate count ~ nprobe/n_centroids of the corpus — the standard
+    inverted-file ANN trade; recall < 1 by design."""
+    cents, assign = ivf_assign(emb, n_centroids)
+    queries = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    from pyspark.sql.window import Window
+
+    qc = (
+        F.broadcast(queries)
+        .join(F.broadcast(cents))
+        .select(
+            "query_id", "q", "centroid_id",
+            cosine(F.col("q"), F.col("ce")).alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q", "centroid_id")
+    )
+    cands = spread_for_compute(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    scored = (
+        F.broadcast(probes)
+        .join(cands, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rnk").cast("bigint").alias("rnk"), "cos",
+        )
+    )
+
+
 def _flip_bit(bucket: Column, i: int) -> Column:
     """Flip character i (1-based) of a '0'/'1' bucket string."""
     return F.concat(

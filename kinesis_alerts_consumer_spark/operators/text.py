@@ -38,6 +38,14 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length("text").alias("n_chars"),
+        # BPE-ish proxy: alnum runs + individual punctuation marks —
+        # the sub-word unit count a byte-pair tokenizer's pre-tokenizer
+        # would see (real BPE plugs in via pandas_udf if needed).
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0
+            )
+        ).alias("n_subtokens"),
         F.round(
             F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
             / F.size(toks),

@@ -261,6 +261,50 @@ ORDER BY query_id, rnk
 """
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return S.cosine_topk_ivf(
+        t["embeddings"], k=5, num_queries=10, n_centroids=8, nprobe=2
+    ).orderBy("query_id", "rnk")
+
+
+SQL_ANN_TOPK_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.ce')} DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, q, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.ce')} DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2),
+s AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_DUCK_COS.format(a='p.q', b='e.embedding')} AS cos
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> p.query_id),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM s)
+SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     return T.token_stats(t["documents"]).orderBy("doc_id")
@@ -274,6 +318,8 @@ SELECT doc_id,
        len(ws) AS n_tokens,
        len(list_distinct(ws)) AS n_distinct,
        len(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]'))
+         AS n_subtokens,
        ROUND(len(regexp_replace(text, '\\s+', '', 'g')) / len(ws), 6)
          AS mean_token_len
 FROM w ORDER BY doc_id
@@ -392,4 +438,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm10_language_id": (q_language_id, SQL_LANG_ID),
     "llm11_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "llm12_corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
+    "llm13_ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_TOPK_IVF),
 }

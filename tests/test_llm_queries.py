@@ -27,6 +27,23 @@ def test_near_dup_finds_constructed_duplicates(spark):
     assert all(rows[p] > 0.9 for p in found)
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with nprobe=2/8 centroids is approximate; recall@5 against
+    the exact brute force stays well above chance."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in LLM_QUERIES["llm06_ann_cosine_topk"][0](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in LLM_QUERIES["llm13_ann_cosine_topk_ivf"][0](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, f"IVF recall collapsed: {recall}"
+
+
 def test_lsh_topk_recall_vs_exact(spark):
     """The LSH top-k is approximate; sanity-check recall@5 against the
     exact path (same-bucket neighbors only -> recall well above 0)."""
