@@ -53,13 +53,7 @@ KVMETA_SCHEMA = (
 )
 
 
-def _maybe_json_object_map(body: Column) -> Column:
-    """Body -> ``map<string,variant>`` (empty map when not a JSON object)."""
-    v = F.expr("try_parse_json(body)")
-    return F.when(
-        F.expr("schema_of_variant(try_parse_json(body))").startswith("OBJECT"),
-        v.cast("map<string,variant>"),
-    ).otherwise(F.create_map().cast("map<string,variant>"))
+_EMPTY_FIELDS = 'cast(map() as map<string,variant>)'
 
 
 def parse_lines(
@@ -106,9 +100,26 @@ def parse_lines(
         F.when(has_sep, F.split(prog_head, "--").getItem(1)).otherwise(F.lit("")),
     )
 
-    df = df.withColumn("kv", F.from_json(F.col("body"), KVMETA_SCHEMA)).withColumn(
-        "fields", _maybe_json_object_map(F.col("body"))
-    )
+    # ONE JSON parse per record: the variant is materialized behind a
+    # generator barrier, then both the typed kvmeta view (struct cast)
+    # and the open map derive from it as binary-variant walks — no
+    # from_json second parse, no whole-body schema_of_variant (that
+    # built the full nested schema TEXT per record; try_cast to map is
+    # the cheap object check). ``_kvmeta`` is dropped from the open map
+    # mirroring the reference's ExtractKVMeta delete
+    # (alerts_consumer.go:83 — extracted then discarded), which also
+    # keeps the big nested object out of the per-field type dispatch.
+    df = df.withColumn("_v", F.explode(F.array(F.expr("try_parse_json(body)"))))
+    df = df.withColumn("kv", F.col("_v").cast(KVMETA_SCHEMA)).withColumn(
+        "fields",
+        F.map_filter(
+            F.coalesce(
+                F.expr("try_cast(_v as map<string,variant>)"),
+                F.expr(_EMPTY_FIELDS),
+            ),
+            lambda k, v: k != "_kvmeta",
+        ),
+    ).drop("_v")
 
     df = (
         df.withColumn(
