@@ -207,6 +207,98 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson, Aiken, SIGMOD'03 — the MOSS algorithm).
+
+    Per doc: normalize (lowercase, strip non-alphanumerics), hash every
+    char ``k``-gram, then keep the minimum hash of each window of ``w``
+    consecutive k-gram hashes. Guarantees at least one shared
+    fingerprint for any common substring of length >= k + w - 1.
+
+    The whole computation is per-row array math (sequence/transform/
+    slice/array_min) — embarrassingly parallel, zero shuffles; the
+    only data movement is the final explode of the distinct
+    fingerprint set. Returns distinct ``(doc_id, fp)`` rows.
+    """
+    nt = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    # Chained selects keep each array a REAL column: an inlined
+    # expression re-evaluates per lambda element (see shingles_of).
+    # when()-guards avoid sequence(1, 0) == [1, 0] (descending!).
+    out = spread_for_compute(docs).select("doc_id", nt.alias("nt"))
+    grams = F.when(
+        F.length("nt") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length("nt") - (k - 1)),
+            lambda i: _hash60(F.col("nt").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    out = out.select("doc_id", grams.alias("grams"))
+    wins = F.when(
+        F.size("grams") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("grams") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("grams"), j, F.lit(w))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    return out.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (MOSS-style).
+
+    Fingerprints occurring in more than ``max_df`` docs are dropped
+    before pairing — they carry no signal (boilerplate / common
+    phrases) AND they bound the fingerprint self-join: each bucket
+    yields <= max_df^2/2 pairs, so the shuffle on ``fp`` cannot blow
+    up on a popular fingerprint at 100 TB (the skew story; without
+    the cap one viral phrase is an O(n^2) bucket).
+
+    ``overlap`` = |shared rare fps| / min(|rare fps a|, |rare fps b|),
+    computed over the filtered sets on both sides.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    fps = fps.join(rare.select("fp"), "fp")
+    nfp = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    left = fps.alias("l")
+    right = fps.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    na = nfp.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
+    nb = nfp.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
+    overlap = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b", "shared", F.round(overlap, 6).alias("overlap")
+        )
+        .filter(F.col("overlap") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, sign_bits: int = 8, threshold: float = 0.9
 ) -> DataFrame:

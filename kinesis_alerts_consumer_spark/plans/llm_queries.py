@@ -425,6 +425,44 @@ FROM w GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    base = _mutated_docs(t["documents"])
+    return D.winnow_near_dup_pairs(
+        base, k=8, w=4, max_df=10, threshold=0.5
+    ).orderBy("a", "b")
+
+
+SQL_WINNOWING = f"""
+WITH base AS ({_MUTATED_DOCS_DUCK}),
+norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+         FROM base),
+grams AS (SELECT doc_id, i,
+                 CAST(('0x'||substr(md5(substr(nt, i, 8)),1,15)) AS BIGINT) AS h
+          FROM norm, UNNEST(generate_series(1, len(nt) - 7)) AS u(i)
+          WHERE len(nt) >= 8),
+wins AS (SELECT doc_id, i,
+                MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                COUNT(*) OVER (PARTITION BY doc_id) AS ng
+         FROM grams),
+fps0 AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= ng - 3),
+rare AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 10),
+fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN rare USING (fp)),
+nfp AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+          FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT p.a, p.b, p.shared,
+       ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n, nb.n), 6) AS overlap
+FROM pairs p
+JOIN nfp na ON na.doc_id = p.a
+JOIN nfp nb ON nb.doc_id = p.b
+WHERE ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n, nb.n), 6) >= 0.5
+ORDER BY a, b
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -439,4 +477,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm11_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "llm12_corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
     "llm13_ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_TOPK_IVF),
+    "llm14_winnowing": (q_winnowing, SQL_WINNOWING),
 }

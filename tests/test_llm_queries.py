@@ -27,6 +27,17 @@ def test_near_dup_finds_constructed_duplicates(spark):
     assert all(rows[p] > 0.9 for p in found)
 
 
+def test_winnowing_finds_constructed_duplicates(spark):
+    """Rolling-hash winnowing fingerprints must pair most mutated
+    docs with their originals (a mutated doc shares every winnowed
+    fingerprint outside its dropped tail, minus common-fp filtering)."""
+    fn, _ = LLM_QUERIES["llm14_winnowing"]
+    rows = {(r.a, r.b): r.overlap for r in fn(spark, SF_SMOKE).collect()}
+    planted = [(i, i + 1000000) for i in range(20)]
+    found = [p for p in planted if p in rows]
+    assert len(found) >= 10, f"only {len(found)}/20 planted pairs found"
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """IVF with nprobe=2/8 centroids is approximate; recall@5 against
     the exact brute force stays well above chance."""
