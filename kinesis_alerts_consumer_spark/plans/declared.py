@@ -190,6 +190,50 @@ FULL OUTER JOIN
   ON a.k = b.k
 ORDER BY k LIMIT 200
 """,
+    # NTILE / PERCENT_RANK / CUME_DIST over a named WINDOW clause.
+    "dq24_window_variants": """
+SELECT o_orderstatus, o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderstatus, o_orderkey LIMIT 200
+""",
+    # Exact interpolated median per group (string_agg/listagg were
+    # tried here and are NOT portable: Spark rejects DuckDB's inline
+    # ORDER BY and DuckDB 1.0 lacks WITHIN GROUP listagg).
+    "dq25_median": """
+SELECT o_orderstatus, ROUND(MEDIAN(o_totalprice), 2) AS med,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    # Bag-semantics set op (duplicates preserved).
+    "dq26_multiset_ops": """
+SELECT o_custkey AS k FROM orders
+INTERSECT ALL
+SELECT c_custkey FROM customer ORDER BY k LIMIT 100
+""",
+    # TRY_CAST error-free coercion + NULLIF/COALESCE/GREATEST/LEAST
+    # scalar family (reference P4/P5 analogue: typed coercion that
+    # quarantines instead of failing).
+    "dq27_try_cast": """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k,
+       TRY_CAST(event_type AS DOUBLE) AS bad,
+       COALESCE(NULLIF(event_type, 'view'), 'other') AS et,
+       ROUND(GREATEST(value, 50.0), 2) AS g,
+       ROUND(LEAST(value, 50.0), 2) AS l
+FROM events ORDER BY event_id LIMIT 100
+""",
+    # Correlated LATERAL subquery (per-row derived table).
+    "dq28_lateral": """
+SELECT c.c_custkey, t.total
+FROM customer c, LATERAL (SELECT ROUND(SUM(o_totalprice), 2) AS total
+                          FROM orders WHERE o_custkey = c.c_custkey) t
+WHERE t.total IS NOT NULL ORDER BY c.c_custkey LIMIT 100
+""",
 }
 
 # DuckDB-dialect twins for queries that are NOT verbatim-portable.

@@ -54,6 +54,24 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC (columnar, predicate-pushdown capable like parquet) — for
+    interchange with Hive/Trino-side producers. Spark's vectorized ORC
+    reader applies the same filter pushdown and column pruning as
+    parquet; at 100 TB prefer whichever format the upstream already
+    writes rather than transcoding."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

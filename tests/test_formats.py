@@ -79,3 +79,21 @@ def test_read_lines(spark, tmp_path):
     p.mkdir()
     (p / "a.txt").write_text("one\ntwo\n")
     assert {r.value for r in read_lines(spark, str(p)).collect()} == {"one", "two"}
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from kinesis_alerts_consumer_spark.sources.formats import read_orc, write_orc
+
+    orders = _orders(spark)
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert _canon(back) == _canon(orders)
+    # Filter must reach the ORC scan (pushed filters in the plan).
+    plan = (
+        back.filter(F.col("o_orderkey") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:80]
