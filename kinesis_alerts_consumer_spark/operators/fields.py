@@ -107,14 +107,22 @@ def _known_map() -> Column:
     )
 
 
+def _typed_fields_expr() -> Column:
+    typed = F.transform_values(F.col("fields"), lambda k, v: _typed(v))
+    merged = F.map_concat(typed, _known_map())
+    return F.explode(F.array(merged))
+
+
 def with_typed_fields(df: DataFrame) -> DataFrame:
     """Materialize ``fields_typed`` (body variant dispatch ⊕ known
     columns, known winning) behind a generator barrier. Requires the
     session conf ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (pinned in
     session.RUNTIME_CONFS)."""
-    typed = F.transform_values(F.col("fields"), lambda k, v: _typed(v))
-    merged = F.map_concat(typed, _known_map())
-    return df.withColumn("fields_typed", F.explode(F.array(merged)))
+    from .util import memo_expr
+
+    return df.withColumn(
+        "fields_typed", memo_expr("fields.typed_fields", _typed_fields_expr)
+    )
 
 
 def resolve_field(name: Column) -> Column:

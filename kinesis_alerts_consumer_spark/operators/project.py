@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from .allowlist import CLOUDWATCH_ALLOWLIST
 from .fields import resolve_field, with_typed_fields
 from .routing import DEFAULT_DIMENSIONS
+from .util import memo_expr
 
 _resolve = resolve_field
 
@@ -182,9 +183,20 @@ def project_routes(df: DataFrame) -> DataFrame:
     if "fields_typed" not in df.columns:
         df = with_typed_fields(df)
     df = df.withColumn(
-        "evaled", F.explode(F.array(F.transform(F.col("routes"), _eval_route)))
+        "evaled",
+        memo_expr(
+            "project.evaled",
+            lambda: F.explode(
+                F.array(F.transform(F.col("routes"), _eval_route))
+            ),
+        ),
     )
+    df = df.withColumn("ignored", F.col("ignored") & F.col("line_ok"))
+    df = df.withColumns(memo_expr("project.disposition", _disposition_exprs))
+    return df.withColumns(memo_expr("project.metrics", _metric_exprs))
 
+
+def _disposition_exprs() -> dict[str, Column]:
     first_err = F.try_element_at(
         F.filter(F.col("evaled"), lambda e: e.getField("error").isNotNull()), F.lit(1)
     )
@@ -201,37 +213,35 @@ def project_routes(df: DataFrame) -> DataFrame:
     )
     cw_bound = F.exists(F.col("evaled"), lambda e: e.getField("allowlisted"))
 
-    df = (
+    return {
         # Error precedence mirrors the reference: parse failure
         # (ProcessMessage -> ParseAndEnhance error, alerts_consumer.go:57-60)
         # precedes the ignore check (:101-103), which precedes the
         # timestamp check (:111-114), then the per-route errors.
-        df.withColumn("ignored", F.col("ignored") & F.col("line_ok"))
-        .withColumn(
-            "error",
+        "error": (
             F.when(~F.col("line_ok"), F.lit("failed to parse log line"))
             .when(F.col("ignored"), F.lit(None).cast("string"))
             .when(
                 F.col("timestamp").isNull(),
                 F.lit("unable parse Time from message's 'timestamp' field"),
             )
-            .otherwise(first_err.getField("error")),
-        )
-        .withColumn("_region", region)
-        .withColumn("_pod_region", pod_region)
-        .withColumn(
-            "tag",
+            .otherwise(first_err.getField("error"))
+        ),
+        "_region": region,
+        "_pod_region": pod_region,
+        "tag": (
             F.when(cw_bound & region.isNotNull(), region)
             .when(cw_bound & pod_region.isNotNull(), pod_region)
-            .otherwise(F.lit("default")),
-        )
-    )
+            .otherwise(F.lit("default"))
+        ),
+    }
 
+
+def _metric_exprs() -> dict[str, Column]:
     ok = F.col("error").isNull() & ~F.col("ignored")
     epoch = F.unix_timestamp(F.col("timestamp"))
-    df = df.withColumn(
-        "dd_metrics",
-        F.when(
+    return {
+        "dd_metrics": F.when(
             ok,
             F.transform(
                 F.col("evaled"),
@@ -244,9 +254,7 @@ def project_routes(df: DataFrame) -> DataFrame:
                 ),
             ),
         ),
-    ).withColumn(
-        "cw_metrics",
-        F.when(
+        "cw_metrics": F.when(
             ok & (F.col("_region").isNotNull() | F.col("_pod_region").isNotNull()),
             F.transform(
                 F.filter(F.col("evaled"), lambda e: e.getField("allowlisted")),
@@ -262,8 +270,7 @@ def project_routes(df: DataFrame) -> DataFrame:
             "array<struct<metric_name: string, dimensions: array<struct<name: string, value: string>>, "
             "value: double, ts: timestamp, storage_resolution: int>>"
         )),
-    )
-    return df
+    }
 
 
 def clean(df: DataFrame) -> DataFrame:

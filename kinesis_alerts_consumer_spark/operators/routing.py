@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .fields import field_str as _field_str
 from .fields import with_typed_fields
+from .util import memo_expr
 
 DEFAULT_DIMENSIONS = ("Hostname", "env")
 
@@ -150,32 +151,28 @@ def mongo_slow_query_routes() -> Column:
     )
 
 
+def _mongo_field_exprs() -> dict[str, Column]:
+    matched = F.col("rawlog").rlike(MONGO_SLOW_RE)
+    return {
+        "operation": F.when(
+            matched, F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 1)
+        ),
+        "namespace": F.when(
+            matched, F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 2)
+        ),
+        "is_collscan": F.when(matched, F.col("rawlog").contains("COLLSCAN")),
+        "millis": F.when(
+            matched,
+            F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 3).cast("double"),
+        ),
+    }
+
+
 def with_mongo_fields(df: DataFrame) -> DataFrame:
     """Derived columns the mongo rule injects into the record
     (global_routes.go:106-109): operation, namespace, is_collscan,
     millis. Null when the rule doesn't match."""
-    matched = F.col("rawlog").rlike(MONGO_SLOW_RE)
-    return (
-        df.withColumn(
-            "operation",
-            F.when(matched, F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 1)),
-        )
-        .withColumn(
-            "namespace",
-            F.when(matched, F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 2)),
-        )
-        .withColumn(
-            "is_collscan",
-            F.when(matched, F.col("rawlog").contains("COLLSCAN")),
-        )
-        .withColumn(
-            "millis",
-            F.when(
-                matched,
-                F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 3).cast("double"),
-            ),
-        )
-    )
+    return df.withColumns(memo_expr("routing.mongo_fields", _mongo_field_exprs))
 
 
 def with_routes(df: DataFrame) -> DataFrame:
@@ -190,15 +187,18 @@ def with_routes(df: DataFrame) -> DataFrame:
     # every downstream reference (see project.with_typed_fields).
     df = df.withColumn(
         "routes",
-        F.explode(
-            F.array(
-                F.concat(
-                    kvmeta_alert_routes(),
-                    process_metrics_routes(),
-                    rds_slow_query_routes(),
-                    mongo_slow_query_routes(),
+        memo_expr(
+            "routing.routes_array",
+            lambda: F.explode(
+                F.array(
+                    F.concat(
+                        kvmeta_alert_routes(),
+                        process_metrics_routes(),
+                        rds_slow_query_routes(),
+                        mongo_slow_query_routes(),
+                    )
                 )
-            )
+            ),
         ),
     )
     # F1 ignore filter (alerts_consumer.go:101-103): kept as a column so
