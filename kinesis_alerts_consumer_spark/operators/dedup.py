@@ -299,6 +299,71 @@ def winnow_near_dup_pairs(
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list ``(a, b)`` —
+    the step that turns near-dup PAIRS into dedup GROUPS (cluster id =
+    min doc_id in the component, the canonical keeper).
+
+    Label propagation to fixpoint: every node adopts the minimum label
+    in its neighborhood (including its own) each round; converges in
+    O(graph diameter) rounds. Each round is one shuffle join + one
+    aggregate on the edge list — at 100 TB this is the standard
+    map-reduce CC loop (for power-law graphs with huge diameter-1
+    hubs, the large-star/small-star variant halves rounds, noted here
+    for the scale path; near-dup graphs are short-diameter so plain
+    propagation is the right default). ``localCheckpoint`` truncates
+    the lineage each round so the plan doesn't grow with iterations.
+
+    Returns ``(doc_id, cluster)`` for every node appearing in an edge
+    (isolated docs are their own trivial cluster and are not emitted).
+    """
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.distinct().persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("cluster"))
+
+
+def dedup_clusters(edges: DataFrame) -> DataFrame:
+    """Dedup groups from near-dup pairs: ``(doc_id, cluster, size)``
+    per clustered doc; ``cluster`` doubles as the canonical keep id."""
+    comp = connected_components(edges)
+    sizes = comp.groupBy("cluster").agg(F.count("*").alias("size"))
+    return comp.join(sizes, "cluster").select("doc_id", "cluster", "size")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, sign_bits: int = 8, threshold: float = 0.9
 ) -> DataFrame:

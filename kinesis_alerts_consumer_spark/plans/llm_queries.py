@@ -463,6 +463,33 @@ ORDER BY a, b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup groups via iterative connected
+    components (the Spark side loops label propagation to fixpoint;
+    the oracle computes the same closure with a recursive CTE)."""
+    t = _tables(spark, sf_dir)
+    base = _mutated_docs(t["documents"])
+    cands = D.lsh_candidate_pairs(base, bands=2, rows_per_band=2, shingle=3)
+    edges = D.jaccard_pairs(base, cands, shingle=3, threshold=0.5)
+    return D.dedup_clusters(edges).orderBy("cluster", "doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE edges AS ({SQL_NEAR_DUP}),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+sizes AS (SELECT cluster, COUNT(*) AS size FROM comp GROUP BY cluster)
+SELECT c.doc_id, c.cluster, s.size
+FROM comp c JOIN sizes s USING (cluster)
+ORDER BY cluster, doc_id
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -478,4 +505,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm12_corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
     "llm13_ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_TOPK_IVF),
     "llm14_winnowing": (q_winnowing, SQL_WINNOWING),
+    "llm15_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

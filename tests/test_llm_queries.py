@@ -27,6 +27,23 @@ def test_near_dup_finds_constructed_duplicates(spark):
     assert all(rows[p] > 0.9 for p in found)
 
 
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, isolated-by-absence 99: labels
+    converge to the component minimum."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_winnowing_finds_constructed_duplicates(spark):
     """Rolling-hash winnowing fingerprints must pair most mutated
     docs with their originals (a mutated doc shares every winnowed
