@@ -1,0 +1,77 @@
+"""Sampling and sequence-packing operators for training-data curation.
+
+- :func:`hash_sample` — DETERMINISTIC per-stratum Bernoulli sampling:
+  keep a row iff ``hash60(key) % 100 < rate(stratum)``. Unlike
+  ``DataFrame.sample`` the decision is a pure function of the row key,
+  so it is reproducible across runs/engines (the DuckDB oracle
+  replays it bit-for-bit), stable under retries/speculative tasks,
+  and consistent when the same key reappears (a re-crawled doc keeps
+  its fate). It is also a plain pushdown-friendly filter: no RNG
+  state, no extra pass, no shuffle.
+- :func:`pack_sequences` — greedy sequence packing: within each
+  group, docs (ordered by id) accumulate into bins of ~``budget``
+  tokens (bin = floor(running-token-count-before / budget)) — the
+  batch-planning step that turns a corpus into context-window-sized
+  training groups. One window per group; at 100 TB the partition key
+  (lang/source/shard) bounds each window's state.
+
+Both are pure column expressions; hashes are md5-derived like
+operators.dedup so the oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _hash60
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column,
+    rate_pct: Column | int,
+    modulus: int = 100,
+) -> DataFrame:
+    """Rows whose ``hash60(key) % modulus`` falls under ``rate_pct``.
+
+    ``rate_pct`` may be a per-row Column (per-stratum rates via
+    CASE/when) or a flat int percentage.
+    """
+    r = F.lit(rate_pct) if isinstance(rate_pct, int) else rate_pct
+    return df.filter(_hash60(key.cast("string")) % modulus < r)
+
+
+def stratified_rates(rates: Mapping[str, int], stratum: Column, default: int) -> Column:
+    """Per-stratum percentage column from a literal {value: pct} map."""
+    expr: Column | None = None
+    for value, pct in sorted(rates.items()):
+        cond = stratum == value
+        expr = F.when(cond, pct) if expr is None else expr.when(cond, pct)
+    return expr.otherwise(default) if expr is not None else F.lit(default)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_count: Column,
+    budget: int,
+    group: str = "lang",
+    order: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc a packing ``bin`` within its group: running
+    token total (ordered by ``order``, exclusive of the current doc)
+    integer-divided by ``budget``. Adds ``ntok`` and ``bin``."""
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = docs.withColumn("ntok", token_count)
+    return out.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("ntok").over(w), F.lit(0)) / budget).cast(
+            "bigint"
+        ),
+    )

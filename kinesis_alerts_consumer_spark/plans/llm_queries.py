@@ -490,6 +490,69 @@ ORDER BY cluster, doc_id
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10% of 'en' docs, 50% of
+    every other lang, keyed on md5(doc_id) — reproducible, retry-
+    stable, and a pushdown-friendly pure filter (no RNG state)."""
+    from ..operators import sampling as SA
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    rates = SA.stratified_rates({"en": 10}, F.col("lang"), default=50)
+    kept = SA.hash_sample(docs, F.col("doc_id"), rates)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("sampled"),
+            F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).alias(
+                "web_n"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT lang, COUNT(*) AS sampled,
+       SUM(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS web_n
+FROM documents
+WHERE {_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
+      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: docs accumulate into ~2048-token bins
+    per lang (running-count window); output profiles each bin."""
+    from ..operators import sampling as SA
+
+    t = _tables(spark, sf_dir)
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    packed = SA.pack_sequences(t["documents"], ntok, budget=2048)
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count("*").alias("docs"), F.sum("ntok").alias("toks"))
+        .orderBy("lang", "bin")
+        .limit(200)
+    )
+
+
+SQL_SEQUENCE_PACKING = """
+WITH t AS (SELECT doc_id, lang,
+                  len(string_split_regex(trim(text), '\\s+')) AS ntok
+           FROM documents),
+c AS (SELECT doc_id, lang, ntok,
+             SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior
+      FROM t)
+SELECT lang, CAST(floor(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
+       COUNT(*) AS docs, SUM(ntok) AS toks
+FROM c GROUP BY 1, 2 ORDER BY lang, bin LIMIT 200
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -506,4 +569,6 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm13_ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_TOPK_IVF),
     "llm14_winnowing": (q_winnowing, SQL_WINNOWING),
     "llm15_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "llm16_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "llm17_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
 }

@@ -161,3 +161,60 @@ def test_session_window_stream_matches_batch_sessionization(spark, tmp_path):
     )
     want = {r.user_id: (r.sessions, r.events) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_self_instrumentation_listener_loop(spark, tmp_path):
+    """K3 loop: a real streaming query's progress events become kayvee
+    'stats' lines which route through the engine's OWN pipeline via
+    the kvconfig-style self rules into kv.…stats counter points."""
+    import time
+
+    from kinesis_alerts_consumer_spark.operators.rules import (
+        SELF_INSTRUMENTATION_RULES,
+    )
+    from kinesis_alerts_consumer_spark.operators.routing import routed
+    from kinesis_alerts_consumer_spark.operators.rules import (
+        with_config_routes,
+    )
+    from kinesis_alerts_consumer_spark.operators.project import project_routes
+    from kinesis_alerts_consumer_spark.streaming.listener import (
+        EngineMetricsListener,
+    )
+
+    listener = EngineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            hourly_type_rollup(stream_events(spark, SF_SMOKE))
+            .writeStream.format("memory")
+            .queryName("selfinstr_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener callbacks are async; wait for at least one line
+        for _ in range(60):
+            if listener.snapshot():
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    lines = listener.snapshot()
+    assert lines, "no progress lines captured"
+    body = json.loads(lines[0].split("[1]: ", 1)[1])
+    assert body["title"] == "stats" and body["value"] >= 0
+
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    parsed = process_lines(df, "value", "production")
+    routed_df = with_config_routes(parsed, SELF_INSTRUMENTATION_RULES)
+    pts = dd_points(project_routes(routed(routed_df)))
+    rows = pts.collect()
+    assert rows, "self lines produced no metric points"
+    assert all(
+        r.metric == "kv.kinesis-alerts-consumer.stats" for r in rows
+    )
+    tags = set(rows[0].tags)
+    assert any(t.startswith("Hostname:spark-engine") for t in tags)
+    assert any(t.startswith("env:production") for t in tags)
