@@ -6,8 +6,10 @@
   so it is reproducible across runs/engines (the DuckDB oracle
   replays it bit-for-bit), stable under retries/speculative tasks,
   and consistent when the same key reappears (a re-crawled doc keeps
-  its fate). It is also a plain pushdown-friendly filter: no RNG
-  state, no extra pass, no shuffle.
+  its fate). It is also a plain scan-side filter: no RNG state, no
+  extra pass, no shuffle (the md5 predicate evaluates per row at the
+  scan; it is not a parquet-level pushed filter since it is a
+  function of the column).
 - :func:`pack_sequences` — greedy sequence packing: within each
   group, docs (ordered by id) accumulate into bins of ~``budget``
   tokens (bin = floor(running-token-count-before / budget)) — the

@@ -493,7 +493,7 @@ ORDER BY cluster, doc_id
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: 10% of 'en' docs, 50% of
     every other lang, keyed on md5(doc_id) — reproducible, retry-
-    stable, and a pushdown-friendly pure filter (no RNG state)."""
+    stable, shuffle-free pure filter (no RNG state)."""
     from ..operators import sampling as SA
 
     t = _tables(spark, sf_dir)
