@@ -86,8 +86,8 @@ WITH g AS (
   FROM events),
 s AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS sess
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
   FROM g)
 SELECT user_id, sess, COUNT(*) AS n
 FROM s GROUP BY user_id, sess ORDER BY user_id, sess LIMIT 100

@@ -404,7 +404,7 @@ WITH x AS (
          'team-' || (event_id % 3) AS team,
          octet_length(CAST(({_VOL_LINE_DUCK}) AS BLOB)) AS nb
   FROM events)
-SELECT env, app, team, COUNT(*) AS cnt, SUM(nb) AS size
+SELECT env, app, team, COUNT(*) AS cnt, CAST(SUM(nb) AS BIGINT) AS size
 FROM x GROUP BY env, app, team ORDER BY env, app, team
 """
 

@@ -419,7 +419,7 @@ WITH w AS (SELECT lang, source,
                   len(string_split_regex(trim(text), '\\s+')) AS n,
                   len(text) AS c
            FROM documents)
-SELECT lang, source, COUNT(*) AS docs, SUM(n) AS tokens,
+SELECT lang, source, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens,
        ROUND(AVG(n), 6) AS avg_tokens, ROUND(AVG(c), 6) AS avg_chars
 FROM w GROUP BY lang, source ORDER BY lang, source
 """
@@ -514,7 +514,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HASH_SAMPLE = f"""
 SELECT lang, COUNT(*) AS sampled,
-       SUM(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS web_n
+       CAST(SUM(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS web_n
 FROM documents
 WHERE {_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
       CASE WHEN lang = 'en' THEN 10 ELSE 50 END
@@ -548,7 +548,7 @@ c AS (SELECT doc_id, lang, ntok,
                AS prior
       FROM t)
 SELECT lang, CAST(floor(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
-       COUNT(*) AS docs, SUM(ntok) AS toks
+       COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS toks
 FROM c GROUP BY 1, 2 ORDER BY lang, bin LIMIT 200
 """
 

@@ -53,7 +53,21 @@ def duck_rows(con, sql):
     return cols, cur.fetchall()
 
 
+def assert_no_hugeint(con, sql, name=""):
+    """DuckDB types SUM(integer) as HUGEINT (int128); Spark has no such
+    type, and the driver's value hash serializes int128 differently from
+    int64 even when values match (round-1 failure mode for
+    dq09/llm12/llm16/llm17). Oracles must CAST such sums to BIGINT."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+    assert not bad, (
+        f"{name}: oracle output has HUGEINT columns {bad}; "
+        "wrap with CAST(... AS BIGINT) to match Spark serialization"
+    )
+
+
 def assert_frames_match(df, con, oracle_sql, name=""):
+    assert_no_hugeint(con, oracle_sql, name)
     s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(con, oracle_sql)
     assert sorted(c.lower() for c in s_cols) == sorted(
