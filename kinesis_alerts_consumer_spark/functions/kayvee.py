@@ -125,7 +125,21 @@ def parse_lines(
         df.withColumn(
             "env", F.coalesce(F.col("kv.env"), F.lit(deploy_env))
         )
-        .withColumn("team", F.coalesce(F.col("kv.team"), F.col("kv._kvmeta.team")))
+        # Reference (alerts_consumer.go:86-89): `team, _ :=
+        # fields["team"].(string)` — the body team counts only when it
+        # is string-TYPED and non-empty; numbers/bools/objects (which a
+        # struct cast would stringify) and "" fall back to kvmeta.Team.
+        .withColumn(
+            "team",
+            F.when(
+                (
+                    F.expr("schema_of_variant(try_element_at(fields, 'team'))")
+                    == F.lit("STRING")
+                )
+                & (F.col("kv.team") != F.lit("")),
+                F.col("kv.team"),
+            ).otherwise(F.col("kv._kvmeta.team")),
+        )
         .withColumn("kvmeta", F.col("kv._kvmeta"))
         .drop("kv", "_ts_raw")
     )

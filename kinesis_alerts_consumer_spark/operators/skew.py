@@ -92,7 +92,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi join with the left (big/skewed) side salted and the right
     (small) side replicated ``salt_n`` times. Output columns = left ++
-    right-minus-key, exactly like ``left.join(right, key, how)``."""
+    right-minus-key, exactly like ``left.join(right, key, how)``.
+
+    Only ``inner`` and ``left`` are supported: with ``right``/``full``
+    an unmatched right row would be emitted once per salt replica.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "right/full would duplicate unmatched right rows per salt"
+        )
     l = left.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_n))
     )

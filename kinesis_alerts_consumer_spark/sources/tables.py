@@ -52,24 +52,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# (session id, sf_dir) -> registered frames. Re-registering the same
-# views per query re-reads parquet footers and re-plans; at 16 queries
-# that fixed cost dominated the sf0.1 bench (~1 s/query).
-_REGISTRY: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# (session id, sf_dir, names) -> loaded frames. Re-loading per query
+# re-reads parquet footers and re-plans; at 16 queries that fixed cost
+# dominated the sf0.1 bench (~1 s/query). Loaded frames are cached
+# forever; temp VIEWS are global per session, so they are refreshed
+# whenever the active (sf_dir, names) for a session changes — without
+# this, sf0.001 -> sf0.01 -> sf0.001 would silently leave the views
+# pointing at sf0.01 data.
+_REGISTRY: dict[tuple[int, str, tuple], dict[str, DataFrame]] = {}
+_ACTIVE_VIEWS: dict[int, tuple[str, tuple]] = {}
 
 
 def register_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (cached per session)."""
-    key = (id(spark), sf_dir, names)
+    """Register every fixture table as a temp view.
+
+    Frames are cached per (session, sf_dir, names); views are
+    re-registered whenever the session's active sf_dir changes.
+    """
+    sid = id(spark)
+    key = (sid, sf_dir, names)
     cached = _REGISTRY.get(key)
-    if cached is not None:
+    if cached is not None and _ACTIVE_VIEWS.get(sid) == (sf_dir, names):
         return cached
-    out: dict[str, DataFrame] = {}
-    for name in names:
-        df = load_table(spark, sf_dir, name)
+    if cached is None:
+        cached = {name: load_table(spark, sf_dir, name) for name in names}
+        _REGISTRY[key] = cached
+    for name, df in cached.items():
         df.createOrReplaceTempView(name)
-        out[name] = df
-    _REGISTRY[key] = out
-    return out
+    _ACTIVE_VIEWS[sid] = (sf_dir, names)
+    return cached

@@ -295,3 +295,25 @@ def test_encode_output_envelope(spark):
     assert dd[0]["ts"] == EPOCH
     assert dd[0]["value"] == 1.0  # counter default
     assert "Hostname:my-hostname" in dd[0]["tags"]
+
+
+# --- team fallback: string-typed + non-empty only (go:86-89) ---------
+
+
+def test_team_fallback_empty_and_nonstring(spark):
+    """`team, _ := fields["team"].(string)`: empty-string and
+    non-string body teams fall back to _kvmeta.team; a real string
+    team wins (alerts_consumer.go:86-89)."""
+    from kinesis_alerts_consumer_spark.functions.kayvee import parse_lines
+
+    lines = [
+        HEADER + body([alert_route()], team="body-team"),   # string wins
+        HEADER + body([alert_route()], team=""),            # empty -> kvmeta
+        HEADER + body([alert_route()], team=42),            # int -> kvmeta
+        HEADER + body([alert_route()], team=True),          # bool -> kvmeta
+        HEADER + body([alert_route()]),                     # missing -> kvmeta
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    teams = [r.team for r in parse_lines(df, "value").select("team").collect()]
+    assert teams == ["body-team", "eng-team", "eng-team", "eng-team",
+                     "eng-team"]

@@ -85,3 +85,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit unmatched right rows once per salt
+    replica; the operator refuses them."""
+    import pytest
+
+    t = register_tables(spark, SF_SMOKE)
+    left = t["orders"].select("o_orderkey", "o_custkey")
+    right = t["customer"].select(F.col("c_custkey").alias("o_custkey"))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, key="o_custkey", how=how)
