@@ -103,7 +103,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, bands: int = 2, rows_per_band: int = 2, shingle: int = 1
+    docs: DataFrame,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    shingle: int = 1,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -111,6 +115,15 @@ def lsh_candidate_pairs(
     struct of its rows. Self-join on (band_index, band_value) —
     shuffle key is small and uniform; the cross product never
     materializes. Returns distinct (a, b) with a < b.
+
+    Buckets holding more than ``max_bucket`` docs are dropped before
+    the self-join (same guard as winnowing's ``max_df``,
+    :func:`winnow_near_dup_pairs`): a degenerate band value — e.g.
+    every empty/boilerplate doc sharing one signature — would make the
+    self-join O(bucket²) on a single shuffle key at 100 TB. The cap
+    bounds each bucket's output at max_bucket²/2 pairs; members of an
+    over-cap bucket are near-identical boilerplate better handled by
+    exact dedup. ``None`` disables the cap.
     """
     k = bands * rows_per_band
     sig = minhash_signatures(docs, num_hashes=k, shingle=shingle)
@@ -125,6 +138,18 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
     )
+    if max_bucket is not None:
+        # Over-cap buckets number at most n/max_bucket (each holds
+        # >max_bucket members) — a tiny, broadcastable exclusion set;
+        # the complement (kept buckets) is nearly ALL buckets and
+        # would be a full shuffle join.
+        bad = (
+            banded.groupBy("bucket")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_bucket)
+            .select("bucket")
+        )
+        banded = banded.join(F.broadcast(bad), "bucket", "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -365,12 +390,21 @@ def dedup_clusters(edges: DataFrame) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, sign_bits: int = 8, threshold: float = 0.9
+    emb: DataFrame,
+    sign_bits: int = 8,
+    threshold: float = 0.9,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Embedding near-dup: bucket by the sign pattern of the first
     ``sign_bits`` dimensions (a deterministic random-hyperplane LSH
     with axis-aligned planes), then exact cosine within buckets.
     Both stages are deterministic, so the oracle reproduces them.
+
+    Buckets above ``max_bucket`` vectors are dropped before the
+    self-join — e.g. all-zero embeddings share one sign pattern and
+    would turn the in-bucket verify quadratic on one shuffle key
+    (same guard as ``lsh_candidate_pairs`` / winnowing ``max_df``).
+    ``None`` disables the cap.
     """
     sig = F.concat_ws(
         "",
@@ -381,6 +415,16 @@ def embedding_near_dup_pairs(
         ],
     )
     b = spread_for_compute(emb).select("vec_id", "embedding", sig.alias("bucket"))
+    if max_bucket is not None:
+        # Exclusion set (over-cap buckets) is <= n/max_bucket rows —
+        # broadcast anti-join, not a shuffle join on the huge keep set.
+        bad = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_bucket)
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(bad), "bucket", "left_anti")
     left = b.alias("l")
     right = b.alias("r")
     pairs = left.join(

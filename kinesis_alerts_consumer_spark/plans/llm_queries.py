@@ -108,7 +108,9 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     base = _mutated_docs(t["documents"])
-    cands = D.lsh_candidate_pairs(base, bands=2, rows_per_band=2, shingle=3)
+    cands = D.lsh_candidate_pairs(
+        base, bands=2, rows_per_band=2, shingle=3, max_bucket=64
+    )
     return D.jaccard_pairs(base, cands, shingle=3, threshold=0.5).orderBy("a", "b")
 
 
@@ -119,10 +121,16 @@ sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
        FROM w, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
        WHERE len(ws) >= 3),
 sig AS (SELECT doc_id, {_duck_minhash(4)} FROM sh GROUP BY doc_id),
+bb AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig
+       UNION ALL
+       SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig),
+keep AS (SELECT band, r0, r1 FROM bb GROUP BY band, r0, r1
+         HAVING COUNT(*) <= 64),
+bf AS (SELECT bb.doc_id, bb.band, bb.r0, bb.r1
+       FROM bb JOIN keep USING (band, r0, r1)),
 cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM sig l JOIN sig r ON l.doc_id < r.doc_id
-          AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1)
-            OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))),
+         FROM bf l JOIN bf r ON l.band = r.band AND l.r0 = r.r0
+          AND l.r1 = r.r1 AND l.doc_id < r.doc_id),
 tok AS (SELECT DISTINCT doc_id, s FROM sh),
 j AS (SELECT c.a, c.b,
         (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
@@ -177,9 +185,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     base = emb.select("vec_id", "embedding").unionAll(dup)
-    return D.embedding_near_dup_pairs(base, sign_bits=8, threshold=0.6).orderBy(
-        "a", "b"
-    )
+    return D.embedding_near_dup_pairs(
+        base, sign_bits=8, threshold=0.6, max_bucket=1024
+    ).orderBy("a", "b")
 
 
 _SIGN_BUCKET_DUCK = "".join(
@@ -193,9 +201,11 @@ WITH base AS (
   SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
 ),
 b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM base),
+keep AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 1024),
+bf AS (SELECT b.vec_id, b.embedding, b.bucket FROM b JOIN keep USING (bucket)),
 p AS (SELECT l.vec_id AS a, r.vec_id AS b,
              {_DUCK_COS.format(a='l.embedding', b='r.embedding')} AS cos
-      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      FROM bf l JOIN bf r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
 SELECT a, b, cos FROM p WHERE cos >= 0.6 ORDER BY a, b
 """
 
@@ -469,7 +479,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the same closure with a recursive CTE)."""
     t = _tables(spark, sf_dir)
     base = _mutated_docs(t["documents"])
-    cands = D.lsh_candidate_pairs(base, bands=2, rows_per_band=2, shingle=3)
+    cands = D.lsh_candidate_pairs(
+        base, bands=2, rows_per_band=2, shingle=3, max_bucket=64
+    )
     edges = D.jaccard_pairs(base, cands, shingle=3, threshold=0.5)
     return D.dedup_clusters(edges).orderBy("cluster", "doc_id")
 

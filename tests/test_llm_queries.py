@@ -85,3 +85,49 @@ def test_lsh_topk_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A degenerate band value (many identical docs) must not explode
+    the candidate self-join: with max_bucket=8, a 20-doc identical
+    cluster contributes ZERO candidate pairs (its bucket is dropped),
+    while a small distinct near-dup pair still surfaces."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(20)]
+    rows += [(100, "a genuinely unique document about spark engines"),
+             (101, "a genuinely unique document about spark engines!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = lsh_candidate_pairs(docs, shingle=1, max_bucket=None)
+    capped = lsh_candidate_pairs(docs, shingle=1, max_bucket=8)
+    # 20 identical docs alone give C(20,2)=190 pairs uncapped
+    assert uncapped.count() >= 190
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), "degenerate bucket leaked pairs"
+
+
+def test_embedding_bucket_cap_bounds_degenerate_buckets(spark):
+    """All-zero embeddings share one sign pattern; the cap drops that
+    bucket instead of verifying C(n,2) cosine pairs inside it."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(i, [-1.0] * 8) for i in range(30)]
+    rows += [(100, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+             (101, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = embedding_near_dup_pairs(
+        emb, sign_bits=8, threshold=0.9, max_bucket=10
+    )
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert got == {(100, 101)}
+    uncapped = embedding_near_dup_pairs(
+        emb, sign_bits=8, threshold=-1.0, max_bucket=None
+    )
+    assert uncapped.count() >= 30 * 29 / 2
