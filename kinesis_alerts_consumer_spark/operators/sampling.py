@@ -61,16 +61,33 @@ def pack_sequences(
     budget: int,
     group: str = "lang",
     order: str = "doc_id",
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign each doc a packing ``bin`` within its group: running
     token total (ordered by ``order``, exclusive of the current doc)
-    integer-divided by ``budget``. Adds ``ntok`` and ``bin``."""
+    integer-divided by ``budget``. Adds ``ntok`` and ``bin``.
+
+    With ``shards`` set, a deterministic ``shard`` column
+    (``hash60(order) % shards``) is added to the window key and the
+    output, and packing runs within each (group, shard). A group key
+    like ``lang`` alone has ~a handful of distinct values, so at
+    100 TB the running-sum window would sort the whole corpus on a few
+    partitions; sharding bounds each window's sort/state at
+    corpus/(groups*shards) while keeping bins deterministic (the
+    hash is a pure row function, so the oracle replays it).
+    """
+    out = docs.withColumn("ntok", token_count)
+    keys = [group]
+    if shards is not None:
+        out = out.withColumn(
+            "shard", (_hash60(F.col(order).cast("string")) % shards)
+        )
+        keys.append("shard")
     w = (
-        Window.partitionBy(group)
+        Window.partitionBy(*keys)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = docs.withColumn("ntok", token_count)
     return out.withColumn(
         "bin",
         F.floor(F.coalesce(F.sum("ntok").over(w), F.lit(0)) / budget).cast(

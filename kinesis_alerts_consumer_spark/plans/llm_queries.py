@@ -536,32 +536,38 @@ GROUP BY lang ORDER BY lang
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: docs accumulate into ~2048-token bins
-    per lang (running-count window); output profiles each bin."""
+    per (lang, shard) — the shard subkey (hash60(doc_id) % 8) bounds
+    each running-sum window's sort at corpus/(langs*shards), since
+    lang alone has only a handful of values and would sort the whole
+    corpus on a few partitions at scale. Output profiles each bin."""
     from ..operators import sampling as SA
 
     t = _tables(spark, sf_dir)
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    packed = SA.pack_sequences(t["documents"], ntok, budget=2048)
+    packed = SA.pack_sequences(t["documents"], ntok, budget=2048, shards=8)
     return (
-        packed.groupBy("lang", "bin")
+        packed.groupBy("lang", "shard", "bin")
         .agg(F.count("*").alias("docs"), F.sum("ntok").alias("toks"))
-        .orderBy("lang", "bin")
+        .orderBy("lang", "shard", "bin")
         .limit(200)
     )
 
 
-SQL_SEQUENCE_PACKING = """
+SQL_SEQUENCE_PACKING = f"""
 WITH t AS (SELECT doc_id, lang,
-                  len(string_split_regex(trim(text), '\\s+')) AS ntok
+                  len(string_split_regex(trim(text), '\\s+')) AS ntok,
+                  {_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR)")} % 8
+                    AS shard
            FROM documents),
-c AS (SELECT doc_id, lang, ntok,
-             SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+c AS (SELECT doc_id, lang, shard, ntok,
+             SUM(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prior
       FROM t)
-SELECT lang, CAST(floor(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(floor(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
        COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS toks
-FROM c GROUP BY 1, 2 ORDER BY lang, bin LIMIT 200
+FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin LIMIT 200
 """
 
 

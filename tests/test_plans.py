@@ -75,3 +75,22 @@ def test_events_filter_pushdown_survives_ts_normalization(spark):
     t = register_tables(spark, SF_SMOKE)
     plan = _plan(t["events"].filter(F.col("event_type") == "click"))
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_pack_sequences_window_partitions_by_shard(spark):
+    """The packing window must hash-partition on (lang, shard), not
+    lang alone — lang has ~5 values, so an unsharded window sorts the
+    whole corpus on a few partitions at scale."""
+    from kinesis_alerts_consumer_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = register_tables(spark, SF_SMOKE)["documents"]
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    plan = _plan(pack_sequences(docs, ntok, budget=2048, shards=8))
+    win_exchanges = [
+        l for l in plan.splitlines()
+        if "hashpartitioning" in l and "lang" in l
+    ]
+    assert win_exchanges, f"no window exchange found:\n{plan}"
+    assert all("shard" in l for l in win_exchanges), win_exchanges
