@@ -85,6 +85,23 @@ def windowed_log_volume(
     ).agg(F.count("*").alias("cnt"), F.sum("num_bytes").alias("size"))
 
 
+def batch_log_volume(parsed_batch: DataFrame, batch_id: int = 0) -> DataFrame:
+    """Processing-time A1 rollup of ONE micro-batch, stamped with its
+    batch id.
+
+    This is the reference-faithful mode (metrics.go:79-103): records
+    accumulate between ticks and ship on the tick, keyed by ARRIVAL —
+    a late record lands in the CURRENT tick's bucket, not its
+    event-time bucket. A Spark micro-batch IS the tick: aggregate the
+    batch's own records and append the deltas; no watermark, no
+    cross-batch state. :func:`windowed_log_volume` is the event-time
+    divergence (late data re-bucketed by record timestamp).
+    """
+    return log_volume(parsed_batch).withColumn(
+        "batch_id", F.lit(batch_id).cast("bigint")
+    )
+
+
 def max_delay_seconds(dd_points_df: DataFrame, now: Column | None = None) -> DataFrame:
     """A2: one-row ``max(now - point_ts)`` in seconds, floored at 0
     (delay.go:17-33 ignores zero timestamps; nulls drop here)."""

@@ -72,3 +72,38 @@ def replay_lines(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def volume_rollup_processing_time(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    deploy_env: str = "production",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """A1 volume rollup in the reference's PROCESSING-TIME mode
+    (metrics.go:79-103): each micro-batch is the 1-minute tick —
+    aggregate the batch's own records by (env, app, team) and append
+    the per-tick deltas. Accumulate/ship/reset; a late record counts
+    in the tick it ARRIVES in. Contrast
+    :func:`..operators.volume.windowed_log_volume`, which re-buckets
+    by event time under a watermark (the documented divergence,
+    SURVEY.md §2C)."""
+    from ..functions.kayvee import parse_lines
+    from ..operators.volume import batch_log_volume
+
+    lines = stream_lines(spark, source_dir, deploy_env, max_files_per_trigger)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_lines(batch_df, "value", deploy_env)
+        batch_log_volume(parsed, batch_id).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        lines.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -218,3 +218,74 @@ def test_self_instrumentation_listener_loop(spark, tmp_path):
     tags = set(rows[0].tags)
     assert any(t.startswith("Hostname:spark-engine") for t in tags)
     assert any(t.startswith("env:production") for t in tags)
+
+
+def test_volume_processing_time_vs_event_time(spark, tmp_path):
+    """Reference A1 fidelity (metrics.go:79-103): in processing-time
+    mode a LATE record counts in the tick it arrives in (per-batch
+    accumulate/ship/reset), while event-time mode re-buckets it into
+    its old window. Replay: batch 0 = two records at T0; batch 1 = one
+    late record (T0) + one at T1."""
+    from kinesis_alerts_consumer_spark.functions.kayvee import parse_lines
+    from kinesis_alerts_consumer_spark.operators.volume import (
+        windowed_log_volume,
+    )
+    from kinesis_alerts_consumer_spark.streaming.pipeline import (
+        stream_lines,
+        volume_rollup_processing_time,
+    )
+
+    T0 = "2017-08-15T18:00:00.000000+00:00"
+    T1 = "2017-08-15T19:00:00.000000+00:00"
+
+    def line(ts):
+        body = {"team": "team-a", "_kvmeta": {"team": "t", "routes": []}}
+        return f"{ts} host prod--app/arn[1]: " + json.dumps(body)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.txt").write_text("\n".join([line(T0), line(T0)]) + "\n")
+    (src / "part-1.txt").write_text("\n".join([line(T0), line(T1)]) + "\n")
+    os.utime(src / "part-0.txt", (1, 1))  # deterministic batch order
+
+    # processing-time mode: each batch ships its OWN records
+    out = str(tmp_path / "vol")
+    q = volume_rollup_processing_time(
+        spark, str(src), out, str(tmp_path / "ckpt_v"),
+        deploy_env="test-env", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    per_batch = {
+        r.batch_id: r.cnt
+        for r in spark.read.parquet(out).filter(F.col("team") == "team-a").collect()
+    }
+    # two ticks, two records each: the late T0 record stayed in ITS
+    # arrival tick instead of joining the other T0 records
+    assert sorted(per_batch.values()) == [2, 2] and len(per_batch) == 2
+
+    # event-time mode: the same lines re-bucket the late record into
+    # the T0 window -> 3/1 split
+    import uuid as _uuid
+
+    name = "vol_" + _uuid.uuid4().hex[:12]
+    parsed = parse_lines(
+        stream_lines(spark, str(src), max_files_per_trigger=1),
+        "value", "test-env",
+    )
+    wq = (
+        windowed_log_volume(parsed, window="1 minute", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination(120)
+    finals = (
+        spark.table(name)
+        .groupBy("w")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    )
+    by_hour = {r.w.start.hour: r.cnt for r in finals}
+    assert by_hour == {18: 3, 19: 1}
