@@ -29,8 +29,13 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# CloudWatch PutMetricData accepts at most 20 data per call
+# (allowlist.go:6-7 pins the constraint; the reference keeps its
+# allowlist small enough to fit one call — the sink enforces it).
+CW_MAX_DATA_PER_CALL = 20
 
 
 @dataclass
@@ -116,14 +121,44 @@ class MetricsSink:
                 # PartialSendBatchError analogue: park the whole batch.
                 dd.write.mode("append").parquet(self._path("failed"))
 
-            # CW: best-effort, only region-tagged data, never fails batch.
+            # CW: best-effort, only region-tagged data, never fails
+            # batch. One submit call per (tag, <=20-datum chunk) —
+            # each call maps to one PutMetricData against that
+            # region's API (alerts_consumer.go:272-278), which caps
+            # MetricData at 20 (allowlist.go:6-7).
             try:
                 cw_submit = self.submit_cw or (
                     lambda df: df.write.mode("append")
                     .partitionBy("tag")
                     .parquet(self._path("cw"))
                 )
-                cw_submit(cw.filter(F.col("tag") != "default"))
+                rn = F.row_number().over(
+                    Window.partitionBy("tag").orderBy("metric_name", "ts")
+                )
+                chunked = (
+                    cw.filter(F.col("tag") != "default")
+                    .withColumn(
+                        "_chunk",
+                        F.floor((rn - 1) / CW_MAX_DATA_PER_CALL).cast("int"),
+                    )
+                    .persist()
+                )
+                try:
+                    groups = sorted(
+                        (r.tag, r._chunk)
+                        for r in chunked.select("tag", "_chunk")
+                        .distinct()
+                        .collect()
+                    )
+                    for tag, chunk in groups:
+                        cw_submit(
+                            chunked.filter(
+                                (F.col("tag") == tag)
+                                & (F.col("_chunk") == chunk)
+                            ).drop("_chunk")
+                        )
+                finally:
+                    chunked.unpersist()
             except Exception:  # noqa: BLE001
                 pass
         finally:

@@ -317,3 +317,36 @@ def test_team_fallback_empty_and_nonstring(spark):
     teams = [r.team for r in parse_lines(df, "value").select("team").collect()]
     assert teams == ["body-team", "eng-team", "eng-team", "eng-team",
                      "eng-team"]
+
+
+# --- CW 20-datum chunking (allowlist.go:6-7) -------------------------
+
+
+def test_cw_submit_chunks_at_20(spark, tmp_path):
+    """45 region-tagged CW data in one batch -> 3 submit calls, each
+    <=20 rows and single-tag (one PutMetricData per call)."""
+    from kinesis_alerts_consumer_spark.streaming.sinks import MetricsSink
+
+    lines = [
+        HEADER + body(
+            [alert_route(series="ContainerExitCount", dims=("dimension1",),
+                         rule="unexpected-stop")],
+            category="app_lifecycle", level="info", title=f"t{i}",
+            dimension1=f"dim-{i}", region="us-west-2", type="counter",
+            value=1,
+        )
+        for i in range(45)
+    ]
+    out = run(spark, lines)
+    calls = []
+    sink = MetricsSink(
+        str(tmp_path / "out"),
+        submit_cw=lambda df: calls.append(
+            [(r.tag, r.metric_name) for r in df.collect()]
+        ),
+    )
+    sink.process_batch(out, batch_id=0)
+    assert len(calls) == 3
+    assert sorted(len(c) for c in calls) == [5, 20, 20]
+    assert all(len({t for t, _ in c}) == 1 for c in calls)
+    assert sum(len(c) for c in calls) == 45
