@@ -429,6 +429,108 @@ FROM events GROUP BY 1, 2, 3 ORDER BY app, env, rule
 
 
 
+# ------------- kv06: multi-route fan-out + mixed-region dispatch
+# (alerts_consumer_test.go:306-380 multi-route golden; :406-687 region
+# batch dispatch; tag rules alerts_consumer.go:206-223)
+
+
+def _kv06_lines(events: DataFrame) -> DataFrame:
+    """Every record fans out to TWO alert routes; region dispatch
+    cycles on event_id % 4:
+      0 -> allowlisted route + ``region``      -> tag us-west-1
+      1 -> allowlisted route + ``pod-region``  -> tag us-east-2
+      2 -> allowlisted route, region missing   -> tag default
+      3 -> no allowlisted route (region set!)  -> tag default
+    (the region only dispatches when an allowlisted series is on the
+    record, alerts_consumer.go:206-223)."""
+    events = spread_for_compute(events)
+    eid = F.col("event_id")
+    m = eid % 4
+
+    def route(series: Column) -> Column:
+        return F.struct(
+            F.lit("alerts").alias("type"),
+            series.alias("series"),
+            F.array(F.lit("district")).alias("dimensions"),
+            F.lit("gauge").alias("stat_type"),
+            F.lit("value").alias("value_field"),
+            F.lit("rule-m").alias("rule"),
+        )
+
+    first = F.when(m == 3, F.lit("series-a")).otherwise(
+        F.lit("ContainerExitCount")
+    )
+    body = F.to_json(
+        F.struct(
+            F.col("value").alias("value"),
+            F.concat(F.lit("d"), _s(eid % 3)).alias("district"),
+            # to_json drops null fields, so these keys only exist on
+            # their cycle's records
+            F.when(m == 0, F.lit("us-west-1"))
+            .when(m == 3, F.lit("eu-west-1"))
+            .alias("region"),
+            F.when(m == 1, F.lit("us-east-2")).alias("pod-region"),
+            F.struct(
+                F.lit("t").alias("team"),
+                F.array(route(first), route(F.lit("series-b"))).alias(
+                    "routes"
+                ),
+            ).alias("_kvmeta"),
+        )
+    )
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), _s(F.col("user_id") % 4), F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+def q_kayvee_multiroute_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    pts = dd_points(process_lines(_kv06_lines(t["events"]), "value", "production"))
+    return (
+        pts.select(
+            "tag", "metric", "mtype",
+            F.concat_ws(",", "tags").alias("tags"), "value",
+        )
+        .groupBy("tag", "metric", "mtype", "tags")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("tag", "metric", "mtype", "tags")
+    )
+
+
+SQL_KAYVEE_MULTIROUTE_REGIONS = """
+WITH base AS (
+  SELECT event_id % 4 AS m,
+         'd' || (event_id % 3) AS district,
+         'host' || (event_id % 7) AS host,
+         value
+  FROM events),
+tagged AS (
+  SELECT CASE WHEN m = 0 THEN 'us-west-1'
+              WHEN m = 1 THEN 'us-east-2'
+              ELSE 'default' END AS tag,
+         CASE WHEN m = 3 THEN 'kv.series-a'
+              ELSE 'kv.ContainerExitCount' END AS metric1,
+         'district:' || district || ',Hostname:' || host
+           || ',env:production' AS tags,
+         value
+  FROM base),
+x AS (
+  SELECT tag, metric1 AS metric, tags, value FROM tagged
+  UNION ALL
+  SELECT tag, 'kv.series-b', tags, value FROM tagged)
+SELECT tag, metric, 'gauge' AS mtype, tags, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM x GROUP BY tag, metric, tags
+ORDER BY tag, metric, mtype, tags
+"""
+
+
 # ------------------------ kv05: config-driven rules (kvconfig / K3)
 
 
@@ -494,4 +596,8 @@ KAYVEE_QUERIES: dict[str, tuple] = {
     "vol01_log_volume": (q_log_volume, SQL_LOG_VOLUME),
     "vol02_log_route_volume": (q_log_route_volume, SQL_LOG_ROUTE_VOLUME),
     "kv05_config_rules": (q_kayvee_config_rules, SQL_KAYVEE_CONFIG_RULES),
+    "kv06_multiroute_regions": (
+        q_kayvee_multiroute_regions,
+        SQL_KAYVEE_MULTIROUTE_REGIONS,
+    ),
 }
