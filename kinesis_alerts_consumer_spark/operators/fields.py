@@ -58,59 +58,78 @@ def res(s=None, d=None, b=None, kind="missing") -> Column:
     )
 
 
-def _typed(v: Column) -> Column:
-    """One variant value -> typed struct<s,d,b,kind> (the reference's
-    type switch, alerts_consumer.go:130-146)."""
-    sch = F.schema_of_variant(v)
+def res_sql(s=None, d=None, b=None, kind="'missing'") -> str:
+    """SQL text of one typed struct<s,d,b,kind> (see :func:`res`)."""
     return (
-        F.when(sch == "STRING", res(s=v.cast("string"), kind="string"))
-        .when(sch == "BOOLEAN", res(b=v.cast("boolean"), kind="bool"))
-        .when(
-            sch.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"),
-            res(d=v.cast("double"), kind="double"),
+        f"named_struct('s', {s or 'cast(null as string)'}, "
+        f"'d', {d or 'cast(null as double)'}, "
+        f"'b', {b or 'cast(null as boolean)'}, 'kind', {kind})"
+    )
+
+
+def _typed_fields_sql() -> str:
+    """SQL text of the merged typed map.
+
+    Built as ONE SQL string parsed JVM-side instead of a py4j Column
+    tree: the tree form cost ~0.9 s of driver round-trips on first
+    build (the single largest plan-build item on the kayvee path).
+
+    The variant type switch (the reference's alerts_consumer.go:
+    130-146) runs as a TWO-pass transform_values: pass 1 stores
+    ``schema_of_variant(v)`` next to the value, pass 2 dispatches on
+    the stored text — in interpreted mode (lambdas are
+    CodegenFallback) the single-pass CASE re-evaluated
+    schema_of_variant per branch, up to 3x per field per record.
+
+    OBJECT / ARRAY / VOID(JSON null) -> kind 'other' with s NULL:
+    casting a whole nested object to JSON text per record measurably
+    slowed the hot path (~20%); the quarantine error message fetches
+    the text lazily from the raw ``fields`` map instead.
+    """
+    dispatch = (
+        "CASE WHEN sv.sch = 'STRING' THEN "
+        + res_sql(s="cast(sv.v as string)", kind="'string'")
+        + " WHEN sv.sch = 'BOOLEAN' THEN "
+        + res_sql(b="cast(sv.v as boolean)", kind="'bool'")
+        + " WHEN sv.sch IN ('BIGINT','INT','SMALLINT','TINYINT',"
+        "'DOUBLE','FLOAT') OR sv.sch LIKE 'DECIMAL%' THEN "
+        + res_sql(d="cast(sv.v as double)", kind="'double'")
+        + " ELSE " + res_sql(kind="'other'") + " END"
+    )
+    pre = (
+        "transform_values(`fields`, (k, v) -> "
+        "named_struct('v', v, 'sch', schema_of_variant(v)))"
+    )
+    typed = f"transform_values({pre}, (k, sv) -> {dispatch})"
+
+    entries = []
+    for field, col in STRING_FIELDS.items():
+        entries.append(
+            f"'{field}', CASE WHEN `{col}` IS NOT NULL THEN "
+            + res_sql(s=f"`{col}`", kind="'string'")
+            + f" ELSE {res_sql()} END"
         )
-        # OBJECT / ARRAY / VOID(JSON null): reference errors on these.
-        # s stays NULL here — casting a whole nested object to its JSON
-        # text per record measurably slowed the hot path (~20% on the
-        # kv01 pipeline); the quarantine error message re-fetches the
-        # text lazily from the raw `fields` map instead (CASE branches
-        # evaluate only when matched).
-        .otherwise(res(kind=F.lit("other")))
+    for field, col in DOUBLE_FIELDS.items():
+        entries.append(
+            f"'{field}', CASE WHEN `{col}` IS NOT NULL THEN "
+            + res_sql(d=f"`{col}`", kind="'double'")
+            + f" ELSE {res_sql()} END"
+        )
+    for field, col in BOOL_FIELDS.items():
+        entries.append(
+            f"'{field}', CASE WHEN `{col}` IS NOT NULL THEN "
+            + res_sql(b=f"`{col}`", kind="'bool'")
+            + f" ELSE {res_sql()} END"
+        )
+    known = (
+        "map_filter(map(" + ", ".join(entries) + "), "
+        "(k, v) -> v.kind != 'missing')"
     )
-
-
-def _known_map() -> Column:
-    """Engine-materialized columns as a typed map (null column ==
-    absent field, e.g. mongo derivations on non-mongo records —
-    filtered out so they don't shadow body fields)."""
-    entries: list[Column] = []
-    for field, col_name in STRING_FIELDS.items():
-        c = F.col(col_name)
-        entries += [
-            F.lit(field),
-            F.when(c.isNotNull(), res(s=c, kind="string")).otherwise(res()),
-        ]
-    for field, col_name in DOUBLE_FIELDS.items():
-        c = F.col(col_name)
-        entries += [
-            F.lit(field),
-            F.when(c.isNotNull(), res(d=c, kind="double")).otherwise(res()),
-        ]
-    for field, col_name in BOOL_FIELDS.items():
-        c = F.col(col_name)
-        entries += [
-            F.lit(field),
-            F.when(c.isNotNull(), res(b=c, kind="bool")).otherwise(res()),
-        ]
-    return F.map_filter(
-        F.create_map(*entries), lambda k, v: v.getField("kind") != "missing"
-    )
+    return f"explode(array(map_concat({typed}, {known})))"
 
 
 def _typed_fields_expr() -> Column:
-    typed = F.transform_values(F.col("fields"), lambda k, v: _typed(v))
-    merged = F.map_concat(typed, _known_map())
-    return F.explode(F.array(merged))
+    return F.expr(_typed_fields_sql())
 
 
 def with_typed_fields(df: DataFrame) -> DataFrame:

@@ -40,131 +40,111 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .allowlist import CLOUDWATCH_ALLOWLIST
-from .fields import resolve_field, with_typed_fields
+from .fields import res_sql, with_typed_fields
 from .routing import DEFAULT_DIMENSIONS
 from .util import memo_expr
 
-_resolve = resolve_field
 
+def _eval_routes_sql() -> str:
+    """SQL text of the per-route evaluation (one F.expr parse — the
+    Column-tree form cost ~0.3 s of py4j round-trips on first build).
 
-def _coerce_tag_value(r: Column) -> Column:
-    """Typed dim value -> tag string (alerts_consumer.go:134-140)."""
-    return (
-        F.when(r.getField("kind") == "string", r.getField("s"))
-        .when(
-            r.getField("kind") == "double",
-            F.format_string("%.0f", r.getField("d")),
+    Per route: dim lookup + coercion (string as-is; JSON number
+    ``%.0f``; bool true/false; missing skipped; other -> record error,
+    alerts_consumer.go:130-146), value resolution with counter 1 /
+    gauge 0 defaults (:157-192), DD series fields (:194-204), CW dims
+    + allowlist flag (:206-223), and the first-error slot.
+
+    'other'-kind values carry no pre-rendered text (see
+    fields._typed_fields_sql); the quarantine error messages fetch the
+    JSON text lazily from the raw ``fields`` variant map — those
+    branches only evaluate for quarantined records. Go fmt ``%s``
+    rendering: string as-is, bool true/false, nil "<nil>"; variant
+    OBJECT/ARRAY render as their JSON text (documented formatting
+    divergence from Go's map/slice rendering — SURVEY.md §4).
+    """
+    missing = res_sql()
+
+    def resolve(name: str) -> str:
+        return (
+            f"coalesce(try_element_at(fields_typed, coalesce({name}, '')), "
+            f"{missing})"
         )
-        .when(
-            r.getField("kind") == "bool",
-            F.when(r.getField("b"), F.lit("true")).otherwise(F.lit("false")),
+
+    def coerce(x: str) -> str:
+        return (
+            f"(CASE WHEN {x}.r.kind = 'string' THEN {x}.r.s "
+            f"WHEN {x}.r.kind = 'double' THEN format_string('%.0f', {x}.r.d) "
+            f"WHEN {x}.r.kind = 'bool' THEN "
+            f"(CASE WHEN {x}.r.b THEN 'true' ELSE 'false' END) END)"
         )
+
+    # Interpreted lambdas get no common-subexpression elimination, so
+    # the eval runs as STAGED transforms: each stage materializes what
+    # the next references more than once (dims/vres, then the
+    # present/bad partitions) — without the staging the dim-resolve
+    # map lookups re-ran up to ~6x per route per record.
+    dims = (
+        "transform(coalesce(r.dimensions, cast(array() as array<string>)), "
+        f"d -> named_struct('name', d, 'r', {resolve('d')}))"
+    )
+    stage1 = (
+        "transform(routes, r -> named_struct("
+        f"'r', r, 'dims', {dims}, 'vres', {resolve('r.value_field')}))"
+    )
+    stage2 = (
+        f"transform({stage1}, p -> named_struct("
+        "'r', p.r, "
+        "'present', filter(p.dims, x -> x.r.kind != 'missing'), "
+        "'bad', filter(p.dims, x -> x.r.kind = 'other'), "
+        "'vres', p.vres))"
     )
 
-
-def _eval_route(r: Column) -> Column:
-    """Evaluate one route against the record -> struct with dd/cw rows
-    and an error slot (null = ok)."""
-    dims = F.transform(
-        F.coalesce(r.getField("dimensions"), F.expr("array()").cast("array<string>")),
-        lambda d: F.struct(d.alias("name"), _resolve(d).alias("r")),
-    )
-    present = F.filter(dims, lambda x: x.getField("r").getField("kind") != "missing")
-    bad_dims = F.filter(
-        dims, lambda x: x.getField("r").getField("kind") == "other"
-    )
-    tags = F.transform(
-        present,
-        lambda x: F.concat(
-            x.getField("name"), F.lit(":"), _coerce_tag_value(x.getField("r"))
-        ),
-    )
-    cw_dims = F.transform(
-        F.filter(
-            present,
-            lambda x: ~x.getField("name").isin(*DEFAULT_DIMENSIONS)
-            & (x.getField("r").getField("kind") != "other"),
-        ),
-        lambda x: F.struct(
-            x.getField("name").alias("name"),
-            _coerce_tag_value(x.getField("r")).alias("value"),
-        ),
+    tags = f"transform(q.present, x -> concat(x.name, ':', {coerce('x')}))"
+    defaults = ", ".join(f"'{d}'" for d in DEFAULT_DIMENSIONS)
+    cw_dims = (
+        f"transform(filter(q.present, x -> NOT (x.name IN ({defaults})) "
+        "AND x.r.kind != 'other'), "
+        f"x -> named_struct('name', x.name, 'value', {coerce('x')}))"
     )
 
-    vres = _resolve(r.getField("value_field"))
-    vkind = vres.getField("kind")
-    stat = r.getField("stat_type")
-
+    bad1 = "try_element_at(q.bad, 1)"
     error = (
-        F.when(
-            F.size(bad_dims) > 0,
-            F.concat(
-                F.lit("error casting dimension value. rule="),
-                F.coalesce(r.getField("rule"), F.lit("")),
-                F.lit(" dim="),
-                F.try_element_at(bad_dims, F.lit(1)).getField("name"),
-                F.lit(" val="),
-                # 'other'-kind values carry no pre-rendered text (see
-                # fields._typed); fetch the JSON text lazily from the
-                # raw variant map — this branch only evaluates for
-                # quarantined records.
-                F.coalesce(
-                    F.try_element_at(bad_dims, F.lit(1)).getField("r").getField("s"),
-                    F.try_element_at(
-                        F.col("fields"),
-                        F.try_element_at(bad_dims, F.lit(1)).getField("name"),
-                    ).cast("string"),
-                    F.lit("<nil>"),
-                ),
-            ),
-        )
-        .when(
-            vkind.isin("string", "bool", "other"),
-            F.concat(
-                F.lit("value exists but is wrong type. rule="),
-                F.coalesce(r.getField("rule"), F.lit("")),
-                F.lit(" value_field="),
-                F.coalesce(r.getField("value_field"), F.lit("")),
-                F.lit(" value="),
-                # Go fmt %s: string as-is, bool true/false, nil "<nil>";
-                # variant OBJECT/ARRAY render as their JSON text
-                # (documented formatting divergence from Go's map/slice
-                # rendering — SURVEY.md §4).
-                F.coalesce(
-                    vres.getField("s"),
-                    F.when(vres.getField("b").isNotNull(),
-                           F.when(vres.getField("b"), F.lit("true"))
-                           .otherwise(F.lit("false"))),
-                    # lazy JSON text for 'other'-kind values (see above)
-                    F.try_element_at(
-                        F.col("fields"), r.getField("value_field")
-                    ).cast("string"),
-                    F.lit("<nil>"),
-                ),
-            ),
-        )
-        .when(
-            ~stat.isin("counter", "gauge"),
-            F.concat(F.lit("invalid StatType: "), F.coalesce(stat, F.lit(""))),
-        )
+        "CASE WHEN size(q.bad) > 0 THEN "
+        "concat('error casting dimension value. rule=', "
+        f"coalesce(q.r.rule, ''), ' dim=', {bad1}.name, ' val=', "
+        f"coalesce({bad1}.r.s, "
+        f"cast(try_element_at(`fields`, {bad1}.name) as string), '<nil>')) "
+        "WHEN q.vres.kind IN ('string', 'bool', 'other') THEN "
+        "concat('value exists but is wrong type. rule=', "
+        "coalesce(q.r.rule, ''), ' value_field=', "
+        "coalesce(q.r.value_field, ''), ' value=', "
+        "coalesce(q.vres.s, "
+        "CASE WHEN q.vres.b IS NOT NULL THEN "
+        "(CASE WHEN q.vres.b THEN 'true' ELSE 'false' END) END, "
+        "cast(try_element_at(`fields`, q.r.value_field) as string), "
+        "'<nil>')) "
+        "WHEN NOT (q.r.stat_type IN ('counter', 'gauge')) THEN "
+        "concat('invalid StatType: ', coalesce(q.r.stat_type, '')) END"
     )
 
-    value = F.when(
-        stat == "counter", F.coalesce(vres.getField("d"), F.lit(1.0))
-    ).otherwise(F.coalesce(vres.getField("d"), F.lit(0.0)))
-    mtype = F.when(stat == "counter", F.lit("count")).otherwise(F.lit("gauge"))
+    value = (
+        "CASE WHEN q.r.stat_type = 'counter' THEN coalesce(q.vres.d, 1.0D) "
+        "ELSE coalesce(q.vres.d, 0.0D) END"
+    )
+    mtype = "CASE WHEN q.r.stat_type = 'counter' THEN 'count' ELSE 'gauge' END"
+    allowlist = ", ".join(f"'{s}'" for s in sorted(CLOUDWATCH_ALLOWLIST))
 
-    allowlisted = r.getField("series").isin(*sorted(CLOUDWATCH_ALLOWLIST))
-
-    return F.struct(
-        F.concat(F.lit("kv."), r.getField("series")).alias("metric"),
-        mtype.alias("mtype"),
-        tags.alias("tags"),
-        value.alias("value"),
-        r.getField("series").alias("series"),
-        cw_dims.alias("cw_dims"),
-        allowlisted.alias("allowlisted"),
-        error.alias("error"),
+    return (
+        f"explode(array(transform({stage2}, q -> named_struct("
+        "'metric', concat('kv.', q.r.series), "
+        f"'mtype', {mtype}, "
+        f"'tags', {tags}, "
+        f"'value', {value}, "
+        "'series', q.r.series, "
+        f"'cw_dims', {cw_dims}, "
+        f"'allowlisted', q.r.series IN ({allowlist}), "
+        f"'error', {error}))))"
     )
 
 
@@ -184,12 +164,7 @@ def project_routes(df: DataFrame) -> DataFrame:
         df = with_typed_fields(df)
     df = df.withColumn(
         "evaled",
-        memo_expr(
-            "project.evaled",
-            lambda: F.explode(
-                F.array(F.transform(F.col("routes"), _eval_route))
-            ),
-        ),
+        memo_expr("project.evaled", lambda: F.expr(_eval_routes_sql())),
     )
     df = df.withColumn("ignored", F.col("ignored") & F.col("line_ok"))
     df = df.withColumns(memo_expr("project.disposition", _disposition_exprs))

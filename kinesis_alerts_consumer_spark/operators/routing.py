@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .fields import field_str as _field_str
 from .fields import with_typed_fields
 from .util import memo_expr
 
@@ -58,6 +57,9 @@ def _route(
     value_field: str | None,
     rule: str,
 ) -> Column:
+    """Column-level route literal — used by the config-rule engine
+    (:mod:`.rules`), whose specs are runtime values; the static global
+    rules below build SQL text instead."""
     st = F.lit(stat_type) if isinstance(stat_type, str) else stat_type
     return F.struct(
         series.alias("series"),
@@ -70,85 +72,129 @@ def _route(
     )
 
 
-def kvmeta_alert_routes() -> Column:
-    """_kvmeta.routes filtered to alerts, with default dims appended."""
-    routes = F.coalesce(
-        F.col("kvmeta.routes"),
-        F.expr("array()").cast(f"array<{ALERT_ROUTE.replace('struct<', 'struct<type: string, ')}>"),
-    )
-    alerts = F.filter(routes, lambda r: r.getField("type") == "alerts")
-    return F.transform(
-        alerts,
-        lambda r: F.struct(
-            r.getField("series").alias("series"),
-            F.concat(
-                F.coalesce(r.getField("dimensions"), F.expr("array()").cast("array<string>")),
-                F.array(*[F.lit(d) for d in DEFAULT_DIMENSIONS]),
-            ).alias("dimensions"),
-            r.getField("stat_type").alias("stat_type"),
-            r.getField("value_field").alias("value_field"),
-            r.getField("rule").alias("rule"),
-        ),
+# SQL-string construction: the four route builders concatenate into
+# one F.expr parse instead of thousands of py4j Column calls (~0.8 s
+# of driver time on first build of the kayvee path).
+
+_EMPTY_ROUTES = f"cast(array() as array<{ALERT_ROUTE}>)"
+
+
+def _field_str_sql(name: str) -> str:
+    """SQL twin of :func:`..fields.field_str` (Go ``.(string)``)."""
+    e = f"try_element_at(fields_typed, '{name}')"
+    return f"(CASE WHEN {e}.kind = 'string' THEN {e}.s END)"
+
+
+def _sql_array(items: tuple[str, ...] | list[str]) -> str:
+    return "array(" + ", ".join(f"'{d}'" for d in items) + ")"
+
+
+def _route_sql(
+    series: str,
+    dimensions: list[str],
+    stat_type: str,
+    value_field: str | None,
+    rule: str,
+) -> str:
+    vf = f"'{value_field}'" if value_field else "cast(null as string)"
+    return (
+        f"named_struct('series', {series}, "
+        f"'dimensions', {_sql_array(dimensions)}, "
+        f"'stat_type', {stat_type}, 'value_field', {vf}, 'rule', '{rule}')"
     )
 
 
-def process_metrics_routes() -> Column:
-    """global_routes.go:40-74 as a conditional one-element array."""
-    via = _field_str("via")
-    source = _field_str("source")
-    title = _field_str("title")
-    stat = _field_str("type")
-    stat = F.when(stat == "guage", F.lit("gauge")).otherwise(stat)
+def _kvmeta_alert_routes_sql() -> str:
+    """_kvmeta.routes filtered to alerts, default dims appended
+    (alerts_consumer.go:92-99, test :382-404)."""
+    typed_empty = (
+        "cast(array() as array<"
+        + ALERT_ROUTE.replace("struct<", "struct<type: string, ")
+        + ">)"
+    )
+    return (
+        f"transform(filter(coalesce(kvmeta.routes, {typed_empty}), "
+        "r -> r.type = 'alerts'), r -> named_struct("
+        "'series', r.series, "
+        "'dimensions', concat(coalesce(r.dimensions, "
+        f"cast(array() as array<string>)), {_sql_array(DEFAULT_DIMENSIONS)}), "
+        "'stat_type', r.stat_type, 'value_field', r.value_field, "
+        "'rule', r.rule))"
+    )
+
+
+def _process_metrics_routes_sql() -> str:
+    """global_routes.go:40-74, incl. the 'guage' typo fix (:61-63)."""
+    stat = (
+        f"(CASE WHEN {_field_str_sql('type')} = 'guage' THEN 'gauge' "
+        f"ELSE {_field_str_sql('type')} END)"
+    )
     cond = (
-        (via == "process-metrics")
-        & source.isNotNull()
-        & title.isNotNull()
-        & stat.isNotNull()
+        f"{_field_str_sql('via')} = 'process-metrics' "
+        f"AND {_field_str_sql('source')} IS NOT NULL "
+        f"AND {_field_str_sql('title')} IS NOT NULL "
+        f"AND {stat} IS NOT NULL"
     )
-    route = _route(
-        F.concat(F.lit("process-metrics."), title),
+    route = _route_sql(
+        f"concat('process-metrics.', {_field_str_sql('title')})",
         ["Hostname", "env", "source"],
         stat,
         "value",
         "global-process-metrics",
     )
-    return F.when(cond, F.array(route)).otherwise(F.expr(f"array()").cast(f"array<{ALERT_ROUTE}>"))
+    return f"CASE WHEN {cond} THEN array({route}) ELSE {_EMPTY_ROUTES} END"
 
 
-def rds_slow_query_routes() -> Column:
-    """global_routes.go:138-162."""
-    user = _field_str("user")
+def _rds_slow_query_routes_sql() -> str:
+    """global_routes.go:138-162 (rdsadmin exclusion)."""
+    user = _field_str_sql("user")
     cond = (
-        (F.col("hostname") == "aws-rds")
-        & user.isNotNull()
-        & (user != "rdsadmin[rdsadmin]")
+        f"hostname = 'aws-rds' AND {user} IS NOT NULL "
+        f"AND {user} != 'rdsadmin[rdsadmin]'"
     )
-    route = _route(
-        F.lit("rds.slow-query"),
+    route = _route_sql(
+        "'rds.slow-query'",
         ["env", "programname"],
-        "counter",
+        "'counter'",
         "value",
         "global-rds-slow-query-count",
     )
-    return F.when(cond, F.array(route)).otherwise(F.expr(f"array()").cast(f"array<{ALERT_ROUTE}>"))
+    return f"CASE WHEN {cond} THEN array({route}) ELSE {_EMPTY_ROUTES} END"
+
+
+def _mongo_slow_query_routes_sql() -> str:
+    """global_routes.go:88-136 — the route array only; the derived
+    record fields are added by :func:`with_mongo_fields`."""
+    pat = MONGO_SLOW_RE.replace("\\", "\\\\")
+    dims = ["hostname", "operation", "namespace", "is_collscan"]
+    counter = _route_sql(
+        "'mongo.slow-query'", dims, "'counter'", None,
+        "global-mongo-slow-query-count",
+    )
+    gauge = _route_sql(
+        "'mongo.slow-query-millis'", dims, "'gauge'", "millis",
+        "global-mongo-slow-query-gauge",
+    )
+    return (
+        f"CASE WHEN rawlog RLIKE '{pat}' THEN array({counter}, {gauge}) "
+        f"ELSE {_EMPTY_ROUTES} END"
+    )
+
+
+def kvmeta_alert_routes() -> Column:
+    return F.expr(_kvmeta_alert_routes_sql())
+
+
+def process_metrics_routes() -> Column:
+    return F.expr(_process_metrics_routes_sql())
+
+
+def rds_slow_query_routes() -> Column:
+    return F.expr(_rds_slow_query_routes_sql())
 
 
 def mongo_slow_query_routes() -> Column:
-    """global_routes.go:88-136 — the route array only; the derived
-    record fields are added by :func:`with_mongo_fields`."""
-    cond = F.col("rawlog").rlike(MONGO_SLOW_RE)
-    dims = ["hostname", "operation", "namespace", "is_collscan"]
-    counter = _route(
-        F.lit("mongo.slow-query"), dims, "counter", None,
-        "global-mongo-slow-query-count",
-    )
-    gauge = _route(
-        F.lit("mongo.slow-query-millis"), dims, "gauge", "millis",
-        "global-mongo-slow-query-gauge",
-    )
-    return F.when(cond, F.array(counter, gauge)).otherwise(
-        F.expr(f"array()").cast(f"array<{ALERT_ROUTE}>")
-    )
+    return F.expr(_mongo_slow_query_routes_sql())
 
 
 def _mongo_field_exprs() -> dict[str, Column]:
@@ -189,15 +235,17 @@ def with_routes(df: DataFrame) -> DataFrame:
         "routes",
         memo_expr(
             "routing.routes_array",
-            lambda: F.explode(
-                F.array(
-                    F.concat(
-                        kvmeta_alert_routes(),
-                        process_metrics_routes(),
-                        rds_slow_query_routes(),
-                        mongo_slow_query_routes(),
+            lambda: F.expr(
+                "explode(array(concat("
+                + ", ".join(
+                    (
+                        _kvmeta_alert_routes_sql(),
+                        _process_metrics_routes_sql(),
+                        _rds_slow_query_routes_sql(),
+                        _mongo_slow_query_routes_sql(),
                     )
                 )
+                + ")))"
             ),
         ),
     )
