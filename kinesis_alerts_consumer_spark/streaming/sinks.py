@@ -23,13 +23,14 @@ test.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # CloudWatch PutMetricData accepts at most 20 data per call
@@ -126,39 +127,35 @@ class MetricsSink:
             # each call maps to one PutMetricData against that
             # region's API (alerts_consumer.go:272-278), which caps
             # MetricData at 20 (allowlist.go:6-7).
+            #
+            # The CW side is bounded-small by construction (allowlisted
+            # series only, allowlist.go:8-10), so it is collected ONCE
+            # — a single Spark action per batch — and chunked
+            # client-side. Rows are sorted by a deterministic total key
+            # before chunking, so chunk membership is stable across
+            # recomputation (at-least-once replays re-send identical
+            # chunks rather than reshuffled ones).
             try:
                 cw_submit = self.submit_cw or (
                     lambda df: df.write.mode("append")
                     .partitionBy("tag")
                     .parquet(self._path("cw"))
                 )
-                rn = F.row_number().over(
-                    Window.partitionBy("tag").orderBy("metric_name", "ts")
-                )
-                chunked = (
-                    cw.filter(F.col("tag") != "default")
-                    .withColumn(
-                        "_chunk",
-                        F.floor((rn - 1) / CW_MAX_DATA_PER_CALL).cast("int"),
-                    )
-                    .persist()
-                )
-                try:
-                    groups = sorted(
-                        (r.tag, r._chunk)
-                        for r in chunked.select("tag", "_chunk")
-                        .distinct()
-                        .collect()
-                    )
-                    for tag, chunk in groups:
+                cw_regional = cw.filter(F.col("tag") != "default")
+                cw_rows = cw_regional.collect()
+                cw_rows.sort(key=lambda r: (r["tag"], str(tuple(r))))
+                spark = projected.sparkSession
+                schema = cw_regional.schema
+                for _tag, grouped in itertools.groupby(
+                    cw_rows, key=lambda r: r["tag"]
+                ):
+                    rows = list(grouped)
+                    for i in range(0, len(rows), CW_MAX_DATA_PER_CALL):
                         cw_submit(
-                            chunked.filter(
-                                (F.col("tag") == tag)
-                                & (F.col("_chunk") == chunk)
-                            ).drop("_chunk")
+                            spark.createDataFrame(
+                                rows[i : i + CW_MAX_DATA_PER_CALL], schema
+                            )
                         )
-                finally:
-                    chunked.unpersist()
             except Exception:  # noqa: BLE001
                 pass
         finally:
