@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed in Arrow batches.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (deterministic fake keyed on the bytes' md5 —
-swap ``_fake_decode`` for PIL/ffmpeg in production). Everything
-Spark-side is real and tested: the media struct schema, Arrow-batched
-``mapInPandas`` plumbing, batch shapes, partition sizing, and the
-feature-table contract downstream operators consume.
+Image HEADER decode is real: :func:`decode_image_dims` parses PNG and
+JPEG bytes directly (pure Python, no codec libraries) and yields
+(width, height, codec). Full pixel/sample decode needs codec libraries
+the container lacks, so pixel-level features remain a clearly-marked
+deterministic stub (``_fake_decode``, md5-keyed — swap for PIL/ffmpeg
+in production). Everything Spark-side is real and tested: the media
+struct schema, Arrow-batched ``mapInPandas`` plumbing, batch shapes,
+partition sizing, and the feature-table contract downstream operators
+consume.
 
 Scale notes: binary payloads dominate row width, so
 - feature extraction projects AWAY the payload as early as possible
@@ -55,19 +58,73 @@ FEATURES_SCHEMA = StructType(
         StructField("checksum", StringType()),
         StructField("feat_mean", DoubleType()),
         StructField("feat_std", DoubleType()),
+        StructField("decoded_width", IntegerType()),
+        StructField("decoded_height", IntegerType()),
+        StructField("codec", StringType()),
     ]
 )
 
 
 def _fake_decode(payload: bytes) -> tuple[float, float]:
-    """STUB decode: deterministic pseudo-features from the payload
-    bytes (md5-seeded). Replace with a real codec (PIL, torchaudio,
-    pyav) where available — only this function changes; the Spark
-    plumbing (schema, batching, partitioning) stays identical."""
+    """STUB pseudo-features from the payload bytes (md5-seeded) —
+    deterministic on arbitrary binary, so the DuckDB oracle reproduces
+    them with its own md5. Real pixel/sample statistics would replace
+    this where a full codec (PIL, torchaudio, pyav) is installed; only
+    this function changes, the Spark plumbing stays identical."""
     digest = hashlib.md5(payload).digest()
     mean = int.from_bytes(digest[:4], "big") / 2**32
     std = int.from_bytes(digest[4:8], "big") / 2**32
     return mean, std
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG SOF markers that carry frame dimensions (C4/C8/CC are
+# huffman/arithmetic tables, not frames).
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
+    """REAL image decode of the header: (width, height, codec) for PNG
+    and JPEG payloads, None otherwise. Pure-Python byte parse — no
+    codec libraries needed for dimensions.
+
+    Deliberately PNG/JPEG only: both magics (0x89.., 0xFF..) are
+    impossible leading bytes for UTF-8 text, so the synthetic text
+    payloads used by the mm01 oracle provably decode to NULL, keeping
+    the oracle exact while real images decode for real.
+    """
+    if not payload:
+        return None
+    b = bytes(payload)
+    # PNG: 8-byte magic, then IHDR chunk: length(4) 'IHDR' width(4) height(4).
+    if b[:8] == _PNG_MAGIC and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "png",
+        )
+    # JPEG: SOI then marker segments; dims live in the first SOFn.
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # desynced: not a well-formed marker stream
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone markers (SOI/EOI/RSTn/TEM)
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF and i + 9 <= len(b):
+                height = int.from_bytes(b[i + 5 : i + 7], "big")
+                width = int.from_bytes(b[i + 7 : i + 9], "big")
+                return (width, height, "jpeg")
+            i += 2 + seg_len
+    return None
 
 
 def extract_features(media: DataFrame, target_partitions: int | None = None) -> DataFrame:
@@ -82,6 +139,7 @@ def extract_features(media: DataFrame, target_partitions: int | None = None) -> 
                 _fake_decode(bytes(p)) if p is not None else (None, None)
                 for p in pdf["payload"]
             ]
+            dims = [decode_image_dims(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -94,6 +152,13 @@ def extract_features(media: DataFrame, target_partitions: int | None = None) -> 
                     ],
                     "feat_mean": [f[0] for f in feats],
                     "feat_std": [f[1] for f in feats],
+                    "decoded_width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "decoded_height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "codec": [d[2] if d else None for d in dims],
                 }
             )
 

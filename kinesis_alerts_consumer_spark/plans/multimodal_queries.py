@@ -53,9 +53,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.round("feat_mean", 6).alias("feat_mean"),
         F.round("feat_std", 6).alias("feat_std"),
+        "decoded_width",
+        "decoded_height",
+        "codec",
     ).orderBy("media_id")
 
 
+# decoded_width/height/codec are NULL for every oracle row by
+# construction: payloads are UTF-8 text, and the PNG (0x89) / JPEG
+# (0xFF) magics cannot begin valid UTF-8 — see
+# operators/multimodal.decode_image_dims. Real images decode for real
+# (tests/test_multimodal.py pins a real PNG and JPEG).
 SQL_MEDIA_FEATURES = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
@@ -66,7 +74,10 @@ SELECT doc_id AS media_id,
        ROUND(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
              / 4294967296.0, 6) AS feat_mean,
        ROUND(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)
-             / 4294967296.0, 6) AS feat_std
+             / 4294967296.0, 6) AS feat_std,
+       CAST(NULL AS INT) AS decoded_width,
+       CAST(NULL AS INT) AS decoded_height,
+       CAST(NULL AS VARCHAR) AS codec
 FROM documents ORDER BY media_id
 """
 

@@ -15,10 +15,12 @@ Reference behavior reproduced (citations into /root/reference):
   (alerts_consumer.go:250-255).
 
 The default "transport" appends to local parquet/JSON directories (a
-dev stand-in for the Datadog/CloudWatch HTTP APIs — swap `submit_dd` /
-`submit_cw` for real clients in production); everything around it
-(batching by tag, retry, DLQ, delay gauge) is the engine's logic under
-test.
+dev stand-in for the Datadog/CloudWatch HTTP APIs); real HTTP clients
+with the reference's wire semantics live in :mod:`.transports`
+(`DatadogTransport` with the 202-only success check,
+`CloudWatchTransport` with stdlib SigV4) and plug into `submit_dd` /
+`submit_cw`. Everything around the transport (batching by tag, retry,
+DLQ, delay gauge) is the engine's logic under test.
 """
 
 from __future__ import annotations

@@ -1,16 +1,74 @@
 """Multimodal plumbing tests: schemas, Arrow batching, deterministic
-stub features (real decode is stubbed — no codecs in this container)."""
+stub features, and REAL PNG/JPEG header decode (pure-Python byte
+parse; pixel-level decode stays stubbed — no codecs in this
+container)."""
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 from kinesis_alerts_consumer_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    decode_image_dims,
     extract_features,
     frame_sample,
     resize_plan,
 )
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A real, spec-valid PNG (8-bit RGBA, zlib-deflated scanlines)."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + tag
+            + data
+            + zlib.crc32(tag + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])  # bit depth 8, color type RGBA
+    )
+    raw = b"".join(b"\x00" + b"\x00\x00\x00\xff" * width
+                   for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI + APP0(JFIF) + SOF0 header."""
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_real_png_and_jpeg_dims():
+    assert decode_image_dims(make_png(3, 2)) == (3, 2, "png")
+    assert decode_image_dims(make_png(640, 480)) == (640, 480, "png")
+    assert decode_image_dims(make_jpeg(32, 16)) == (32, 16, "jpeg")
+
+
+def test_decode_rejects_non_images():
+    # UTF-8 text (the mm01 oracle payloads) can never decode: PNG/JPEG
+    # magics are invalid UTF-8 leading bytes.
+    assert decode_image_dims("plain text payload".encode()) is None
+    assert decode_image_dims(b"") is None
+    assert decode_image_dims(None) is None
+    assert decode_image_dims(b"\x89PNG but truncated") is None
+    assert decode_image_dims(b"\xff\xd8 not marker structured") is None
 
 
 def media_df(spark):
