@@ -324,61 +324,101 @@ def winnow_near_dup_pairs(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node links its STRICTLY-LARGER
+    neighbors to the minimum of its closed neighborhood. Edges in and
+    out are (u, v) with u > v (canonical orientation)."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller-or-equal
+    neighborhood (itself included) to that neighborhood's minimum.
+    Input/output orientation u > v."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, stats: dict | None = None
+) -> DataFrame:
     """Connected components over an undirected pair list ``(a, b)`` —
     the step that turns near-dup PAIRS into dedup GROUPS (cluster id =
     min doc_id in the component, the canonical keeper).
 
-    Label propagation to fixpoint: every node adopts the minimum label
-    in its neighborhood (including its own) each round; converges in
-    O(graph diameter) rounds. Each round is one shuffle join + one
-    aggregate on the edge list — at 100 TB this is the standard
-    map-reduce CC loop (for power-law graphs with huge diameter-1
-    hubs, the large-star/small-star variant halves rounds, noted here
-    for the scale path; near-dup graphs are short-diameter so plain
-    propagation is the right default). ``localCheckpoint`` truncates
-    the lineage each round so the plan doesn't grow with iterations.
+    Alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each
+    round contracts star subgraphs toward the component minimum, so
+    convergence is O(log n) rounds even on high-diameter or power-law
+    dup graphs — where plain min-label propagation needs O(diameter)
+    rounds. Each round is two groupBy+join passes over the edge list;
+    ``localCheckpoint`` truncates lineage so the plan stays flat. The
+    fixpoint is a union of stars centered at component minima, read
+    out directly as labels. Convergence is detected by an order-
+    independent (count, xor-of-hashes) edge-set checksum — one small
+    aggregate per round, no driver-side data.
 
     Returns ``(doc_id, cluster)`` for every node appearing in an edge
     (isolated docs are their own trivial cluster and are not emitted).
+
+    ``stats``, if given, receives ``{"rounds": n}`` for convergence
+    tests.
     """
-    sym = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    sym = sym.distinct().persist()
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
+    cur = (
+        edges.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
     )
+
+    def _checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(cur)
+    rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lbl").alias("nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        rounds += 1
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _checksum(cur)
+        if sig == prev:
             break
-    sym.unpersist()
-    return labels.select("doc_id", F.col("lbl").alias("cluster"))
+        prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    centers = cur.select(F.col("v")).distinct()
+    return cur.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster")
+    ).unionAll(
+        centers.select(
+            F.col("v").alias("doc_id"), F.col("v").alias("cluster")
+        )
+    )
 
 
 def dedup_clusters(edges: DataFrame) -> DataFrame:

@@ -44,7 +44,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI divide-by-zero error) when
+    either vector is all-zero, so one degenerate embedding in a 100 TB
+    corpus degrades to a dropped pair instead of a failed job."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(

@@ -44,6 +44,69 @@ def test_connected_components_known_graph(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_path_graph_logarithmic_rounds(spark):
+    """A 64-node path (diameter 63) — the worst case for min-label
+    propagation (O(diameter) rounds) — must converge in O(log n)
+    alternating large-star/small-star rounds."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    stats: dict = {}
+    got = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert got == {(i, 0) for i in range(64)}
+    assert stats["rounds"] <= 8, f"took {stats['rounds']} rounds for n=64"
+
+
+def test_connected_components_star_graph_constant_rounds(spark):
+    """A 50-leaf hub star (the power-law dup-graph shape) converges in
+    O(1) rounds and labels everything with the component minimum even
+    though the hub is NOT the minimum."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # hub=1000 connected to leaves 1..50: min is a leaf, not the hub.
+    edges = spark.createDataFrame(
+        [(1000, i) for i in range(1, 51)], "a long, b long"
+    )
+    stats: dict = {}
+    got = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    expect = {(i, 1) for i in range(1, 51)} | {(1000, 1)}
+    assert got == expect
+    assert stats["rounds"] <= 3, f"took {stats['rounds']} rounds"
+
+
+def test_zero_vectors_never_pair(spark):
+    """Zero embeddings have undefined cosine (0/0 -> NULL); they must
+    pair with nothing — not each other, not real vectors — while real
+    near-dups in the same sign bucket still pair."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(i, [0.0] * 8) for i in range(5)]
+    rows += [(100, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+             (101, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.a, r.b)
+        for r in embedding_near_dup_pairs(
+            emb, sign_bits=8, threshold=0.0, max_bucket=None
+        ).collect()
+    }
+    assert got == {(100, 101)}
+
+
 def test_winnowing_finds_constructed_duplicates(spark):
     """Rolling-hash winnowing fingerprints must pair most mutated
     docs with their originals (a mutated doc shares every winnowed
@@ -111,8 +174,12 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
 
 
 def test_embedding_bucket_cap_bounds_degenerate_buckets(spark):
-    """All-zero embeddings share one sign pattern; the cap drops that
-    bucket instead of verifying C(n,2) cosine pairs inside it."""
+    """30 constant negative vectors share one sign-pattern bucket; the
+    cap drops that bucket instead of verifying C(n,2) cosine pairs
+    inside it. (True zero vectors land in the all-'1' pattern with the
+    positive vectors — the sign test is `>= 0` — and their cosine is
+    NULL (0/0), which the `>= threshold` verify filter drops; pinned
+    by test_zero_vectors_never_pair below.)"""
     from kinesis_alerts_consumer_spark.operators.dedup import (
         embedding_near_dup_pairs,
     )
