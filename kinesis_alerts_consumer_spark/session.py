@@ -50,6 +50,21 @@ BUILD_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # local[N] has no dynamic executors; bound shuffle fan-out to cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Whole-stage codegen emits one class per plan fragment; a long
+    # query suite overflows HotSpot's default 240 MB code cache, after
+    # which the JIT compiler is periodically disabled/flushed and every
+    # query degrades ~3-10x (observed: identical kv01 runs oscillating
+    # 2.3 s <-> 12.4 s within one JVM). Size the cache for a
+    # many-query session. -Xms + AlwaysPreTouch faults the whole heap
+    # in at startup: on virtualized hosts, demand-faulting heap pages
+    # mid-query showed up as multi-second 90%-system-time stalls
+    # billed to whichever query triggered heap growth.
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        "-XX:ReservedCodeCacheSize=1g -Xms"
+        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        + " -XX:+AlwaysPreTouch",
+    ),
 }
 
 
