@@ -78,10 +78,30 @@ def _route(
 
 _EMPTY_ROUTES = f"cast(array() as array<{ALERT_ROUTE}>)"
 
+# Record fields the global rules test. Resolved ONCE per record into
+# the `_rule_fields` struct (see _rule_fields_sql) because interpreted
+# (CodegenFallback) evaluation repeats every inline map lookup —
+# 'type' alone appeared ~6x per record before staging.
+_RULE_FIELD_NAMES = ("via", "source", "title", "type", "user")
+
+
+def _rule_fields_sql() -> str:
+    """One-map-lookup-per-field staging struct:
+    ``_rule_fields.<name>`` holds the field's typed struct<s,d,b,kind>
+    (NULL when absent). Downstream rule predicates read it with struct
+    field access — O(1), no repeated map lookups."""
+    entries = ", ".join(
+        f"'{n}', try_element_at(fields_typed, '{n}')"
+        for n in _RULE_FIELD_NAMES
+    )
+    return f"explode(array(named_struct({entries})))"
+
 
 def _field_str_sql(name: str) -> str:
-    """SQL twin of :func:`..fields.field_str` (Go ``.(string)``)."""
-    e = f"try_element_at(fields_typed, '{name}')"
+    """SQL twin of :func:`..fields.field_str` (Go ``.(string)``),
+    reading the staged ``_rule_fields`` struct."""
+    assert name in _RULE_FIELD_NAMES, name
+    e = f"_rule_fields.`{name}`"
     return f"(CASE WHEN {e}.kind = 'string' THEN {e}.s END)"
 
 
@@ -227,6 +247,13 @@ def with_routes(df: DataFrame) -> DataFrame:
     mongo derived fields. Adds ``routes`` and ``ignored`` columns."""
     df = with_mongo_fields(df)
     df = with_typed_fields(df)
+    # Stage the rule-field lookups once per record (its own generator
+    # barrier so CollapseProject can't re-inline the map lookups into
+    # each consuming rule predicate).
+    df = df.withColumn(
+        "_rule_fields",
+        memo_expr("routing.rule_fields", lambda: F.expr(_rule_fields_sql())),
+    )
     # explode(array(...)) = generator barrier: the route-assembly
     # expression (kvmeta transform + three rule predicates over variant
     # fields) evaluates once per record instead of being inlined into
