@@ -97,9 +97,14 @@ def volume_rollup_processing_time(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_lines(batch_df, "value", deploy_env)
-        batch_log_volume(parsed, batch_id).write.mode("append").parquet(
-            out_dir
-        )
+        # Idempotent under checkpoint replay: foreachBatch is
+        # at-least-once, so a failure-and-restart re-runs the same
+        # batch_id. Overwriting exactly this batch's partition
+        # (dynamic partition overwrite) makes the re-run replace its
+        # own earlier rows instead of appending duplicates.
+        batch_log_volume(parsed, batch_id).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
 
     return (
         lines.writeStream.foreachBatch(handle)

@@ -263,6 +263,19 @@ def test_volume_processing_time_vs_event_time(spark, tmp_path):
     # arrival tick instead of joining the other T0 records
     assert sorted(per_batch.values()) == [2, 2] and len(per_batch) == 2
 
+    # at-least-once replay safety: re-running the same batches (fresh
+    # checkpoint -> same batch ids) overwrites each batch's own
+    # partition instead of appending duplicate rollup rows
+    q2 = volume_rollup_processing_time(
+        spark, str(src), out, str(tmp_path / "ckpt_v2"),
+        deploy_env="test-env", max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    replayed = (
+        spark.read.parquet(out).filter(F.col("team") == "team-a").collect()
+    )
+    assert sorted(r.cnt for r in replayed) == [2, 2] and len(replayed) == 2
+
     # event-time mode: the same lines re-bucket the late record into
     # the T0 window -> 3/1 split
     import uuid as _uuid
