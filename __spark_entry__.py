@@ -46,10 +46,19 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     gets a driver row; ext05 already has two) run LAST.
     """
     entries: list[tuple[str, Callable, str | None]] = []
-    # 1) never-driver-checked families, oracle-backed (15 keys)
+    # 1) never-driver-checked families, oracle-backed (15 keys), plus
+    #    queries added this round that have no row yet
+    new_this_round = {
+        "llm18_pii_redaction",
+        "llm19_doc_chunking",
+        "llm20_tfidf_vocab",
+    }
     for group in (KAYVEE_QUERIES, MULTIMODAL_QUERIES, STREAMING_QUERIES):
         for name, (fn, sql) in group.items():
             entries.append((name, fn, sql))
+    for name in sorted(new_this_round):
+        fn, sql = LLM_QUERIES[name]
+        entries.append((name, fn, sql))
     # 2) previously-green declared SQL surface (cheap, 28 keys)
     for name in DECLARED_QUERIES:
         entries.append(
@@ -63,6 +72,8 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     no_oracle: dict[str, tuple[Callable, None]] = {}
     for group in (EXT_QUERIES, LLM_QUERIES):
         for name, (fn, sql) in group.items():
+            if name in new_this_round:
+                continue
             if sql is None:
                 no_oracle[name] = (fn, sql)
             else:

@@ -32,6 +32,16 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    # Optional subset for scale rehearsals (comma-separated names):
+    # SPARK_GRAFT_QUERIES=kv01_route_project,llm15_dedup_clusters ...
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        keep = {q.strip() for q in subset.split(",") if q.strip()}
+        unknown = keep - qs.keys()
+        if unknown:
+            raise SystemExit(f"unknown SPARK_GRAFT_QUERIES: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in keep}
+
     # Warm-up: session init, parquet footer reads, codegen JIT, and
     # the Python/Arrow worker pool (one daemon-forked worker per core —
     # measured ~10 s of spawn otherwise billed to the first
@@ -47,6 +57,8 @@ def main() -> None:
     # pipeline compiles once and runs for hours, so steady state is
     # the number that scales.
     smoke = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(smoke):
+        smoke = "/root/testdata/sf0.001"
     if "kv01_route_project" in qs and os.path.isdir(smoke):
         qs["kv01_route_project"](spark, smoke).collect()
 

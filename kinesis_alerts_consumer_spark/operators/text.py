@@ -6,6 +6,7 @@ one low-cardinality aggregate where noted.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +122,53 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def subword_token_counts(
+    docs: DataFrame, tokenizer_factory=None
+) -> DataFrame:
+    """Per-doc subword token counts with a pluggable real tokenizer.
+
+    ``tokenizer_factory`` is a zero-arg callable returning an object
+    with ``encode(text) -> sized`` (the HuggingFace ``tokenizers``
+    protocol: ``len(tok.encode(t).ids)`` — a plain ``encode(t) ->
+    list`` works too). It runs inside an Arrow-batched ``pandas_udf``
+    and is constructed ONCE per task, not per row, so loading a real
+    BPE vocab costs O(tasks), not O(rows). With no factory the count
+    stays JVM-side: the same alnum-run + punctuation pre-tokenizer
+    proxy ``token_stats`` uses (deterministic, oracle-matched).
+
+    Real-tokenizer output is model-dependent, so like ext05 it is
+    bounds-validated (0 < n_subtokens <= n_chars for non-empty text),
+    never hash-matched against a SQL oracle.
+    """
+    docs = spread_for_compute(docs)
+    if tokenizer_factory is None:
+        n = F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0
+            )
+        )
+        return docs.select("doc_id", n.cast("int").alias("n_subtokens"))
+
+    state: dict[str, object] = {}
+
+    @F.pandas_udf("int")
+    def _n_subtokens(texts: pd.Series) -> pd.Series:
+        tok = state.get("tok")
+        if tok is None:
+            tok = state["tok"] = tokenizer_factory()
+
+        def count(t: str) -> int:
+            enc = tok.encode(t)
+            ids = getattr(enc, "ids", enc)
+            return len(ids)
+
+        return texts.map(count)
+
+    return docs.select(
+        "doc_id", _n_subtokens(F.col("text")).alias("n_subtokens")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase
     text (exact-dup key) and a prefix hash of the first 8 tokens
@@ -135,6 +183,87 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
         F.md5(F.lower(prefix)).alias("prefix_fp"),
+    )
+
+
+# PII patterns, deliberately RE2-compatible (no lookarounds) so the
+# same pattern string runs in Spark (Java regex) and DuckDB (RE2) —
+# the oracle must execute the IDENTICAL pattern.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Count and redact PII spans (emails, phone numbers, IPv4s).
+
+    Narrow per-row map — at 100 TB this is a pure scan-side transform
+    (no shuffle, whole-stage codegen'd regexps). Redaction applies the
+    patterns in a fixed order (email, phone, ipv4) so an IPv4-looking
+    fragment inside an already-redacted span can't double-count.
+    Returns counts plus md5 of the redacted text (the redacted corpus
+    itself would be the real output; the hash keeps oracle compare
+    cheap)."""
+    docs = spread_for_compute(docs)
+    redacted = F.col("text")
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind}>")
+    return docs.select("doc_id", *counts, F.md5(redacted).alias("red_fp"))
+
+
+def chunk_documents(
+    docs: DataFrame, width: int = 100, stride: int = 90
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks (context-
+    window preparation). Chunk i covers words [i*stride, i*stride +
+    width); chunks exist while i*stride < n_words. explode(sequence)
+    keeps the fan-out JVM-side and scan-parallel — no shuffle, output
+    rows ~ n_words/stride per doc."""
+    docs = spread_for_compute(docs)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(F.col("ws")) / F.lit(stride)).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id")
+    words = F.slice(F.col("ws"), F.col("chunk_id") * stride + 1, width)
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .select("doc_id", "ws", chunk)
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(words).cast("bigint").alias("n_words"),
+            F.md5(F.concat_ws(" ", words)).alias("chunk_fp"),
+        )
+    )
+
+
+def tfidf_vocab(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary by document frequency with IDF — the vocab-
+    building pass of a training pipeline. One explode + one groupBy
+    on the token (the only shuffle); N arrives via a broadcast 1-row
+    cross join, never a driver-side collect."""
+    docs = spread_for_compute(docs)
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    per_doc = docs.select("doc_id", F.explode(toks).alias("token"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(top_n)
     )
 
 

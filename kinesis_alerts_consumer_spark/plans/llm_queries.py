@@ -571,6 +571,107 @@ FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin LIMIT 200
 """
 
 
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    """documents with deterministic PII injected into doc_id < 50 —
+    the fixture corpus is word soup with no organic PII, and a
+    redactor that only ever reports zero proves nothing. Pure column
+    logic, mirrored in the oracle."""
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 50, injected)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_PII_DOCS_DUCK = """
+  SELECT doc_id,
+         CASE WHEN doc_id < 50
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 at 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.pii_redact(_pii_docs(t["documents"])).orderBy("doc_id")
+
+
+SQL_PII_REDACTION = f"""
+WITH base AS ({_PII_DOCS_DUCK}),
+r AS (SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<email>', 'g') AS t1
+      FROM base),
+r2 AS (SELECT doc_id, text, t1,
+              regexp_replace(t1, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b',
+                             '<phone>', 'g') AS t2
+       FROM r)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t1,
+         '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t2,
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT)
+         AS n_ipv4,
+       md5(regexp_replace(t2, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                          '<ipv4>', 'g')) AS red_fp
+FROM r2 ORDER BY doc_id
+"""
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.chunk_documents(t["documents"], width=100, stride=90).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_DOC_CHUNKING = """
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+c AS (SELECT doc_id, i - 1 AS chunk_id, ws
+      FROM w, UNNEST(generate_series(
+                1, CAST(ceil(len(ws) / 90.0) AS INT))) AS u(i))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ws[chunk_id*90+1 : chunk_id*90+100]) AS BIGINT) AS n_words,
+       md5(array_to_string(ws[chunk_id*90+1 : chunk_id*90+100], ' '))
+         AS chunk_fp
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.tfidf_vocab(t["documents"], top_n=100)
+
+
+SQL_TFIDF_VOCAB = """
+WITH w AS (SELECT doc_id,
+                  list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS ws
+           FROM documents),
+t AS (SELECT doc_id, UNNEST(ws) AS token FROM w),
+d AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, df, ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+FROM d, n ORDER BY df DESC, token LIMIT 100
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -589,4 +690,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm15_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "llm16_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "llm17_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "llm18_pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "llm19_doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
+    "llm20_tfidf_vocab": (q_tfidf_vocab, SQL_TFIDF_VOCAB),
 }

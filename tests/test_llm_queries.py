@@ -198,3 +198,89 @@ def test_embedding_bucket_cap_bounds_degenerate_buckets(spark):
         emb, sign_bits=8, threshold=-1.0, max_bucket=None
     )
     assert uncapped.count() >= 30 * 29 / 2
+
+
+def test_subword_token_counts_pluggable_tokenizer(spark):
+    """The pandas_udf plug-in path: an injected whitespace tokenizer
+    must reproduce the whitespace token count exactly, proving the
+    factory is honored and batch results align row-for-row."""
+    from kinesis_alerts_consumer_spark.operators.text import (
+        subword_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "one two"), (3, "solo")],
+        "doc_id long, text string",
+    )
+
+    class _WsTok:
+        def encode(self, t):
+            return t.split()
+
+    got = {
+        r.doc_id: r.n_subtokens
+        for r in subword_token_counts(docs, lambda: _WsTok()).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+
+    # default path stays JVM-side and matches token_stats' proxy
+    default = {
+        r.doc_id: r.n_subtokens for r in subword_token_counts(docs).collect()
+    }
+    assert default == {1: 3, 2: 2, 3: 1}
+
+
+def test_subword_token_counts_real_bpe_opt_in(spark):
+    """Opt-in: if the HuggingFace `tokenizers` wheel is present, train
+    a throwaway BPE and bounds-validate (model-dependent counts are
+    never hash-matched — same policy as ext05)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from kinesis_alerts_consumer_spark.operators.text import (
+        subword_token_counts,
+    )
+
+    texts = ["the quick brown fox", "jumps over the lazy dog"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    def factory():
+        tok = tokenizers.Tokenizer(tokenizers.models.BPE())
+        tok.pre_tokenizer = tokenizers.pre_tokenizers.Whitespace()
+        trainer = tokenizers.trainers.BpeTrainer(vocab_size=64)
+        tok.train_from_iterator(texts, trainer)
+        return tok
+
+    rows = subword_token_counts(docs, factory).collect()
+    by_id = {r.doc_id: r.n_subtokens for r in rows}
+    for i, t in enumerate(texts):
+        assert 0 < by_id[i] <= len(t)
+
+
+def test_pii_redaction_finds_planted_pii(spark):
+    """Docs 0-49 carry one planted email/phone/IPv4 each; the rest of
+    the fixture is word soup with none. Redacted text must hash
+    differently from raw text exactly when PII was found."""
+    fn, _ = LLM_QUERIES["llm18_pii_redaction"]
+    rows = {r.doc_id: r for r in fn(spark, SF_SMOKE).collect()}
+    assert rows[0].n_email == 1 and rows[0].n_phone == 1
+    assert rows[0].n_ipv4 == 1
+    clean = [r for d, r in rows.items() if d >= 50]
+    assert clean and all(
+        r.n_email == 0 and r.n_phone == 0 and r.n_ipv4 == 0 for r in clean
+    )
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    """250 words, width=100, stride=90 -> 3 chunks of 100/100/70 whose
+    word spans overlap by 10."""
+    from kinesis_alerts_consumer_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(250))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, width=100, stride=90).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.n_words for r in rows] == [100, 100, 70]
+    assert len({r.chunk_fp for r in rows}) == 3
