@@ -50,22 +50,21 @@ BUILD_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # local[N] has no dynamic executors; bound shuffle fan-out to cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    # Whole-stage codegen emits one class per plan fragment; a long
-    # query suite overflows HotSpot's default 240 MB code cache, after
-    # which the JIT compiler is periodically disabled/flushed and every
-    # query degrades ~3-10x (observed: identical kv01 runs oscillating
-    # 2.3 s <-> 12.4 s within one JVM). Size the cache for a
-    # many-query session. -Xms + AlwaysPreTouch faults the whole heap
-    # in at startup: on virtualized hosts, demand-faulting heap pages
-    # mid-query showed up as multi-second 90%-system-time stalls
-    # billed to whichever query triggered heap growth.
-    "spark.driver.extraJavaOptions": os.environ.get(
-        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-        "-XX:ReservedCodeCacheSize=1g -Xms"
-        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-        + " -XX:+AlwaysPreTouch",
-    ),
 }
+
+# Extra driver JVM options are opt-in ONLY. A previous attempt set
+# -XX:ReservedCodeCacheSize=1g -Xms<heap> -XX:+AlwaysPreTouch by
+# default to chase in-suite timing oscillation; A/B on the full
+# 69-query suite showed those options CAUSE a ~2.2x suite-wide
+# slowdown (78 s -> 171 s, worst on late-suite queries: the
+# 8 GiB committed-from-start heap makes G1 keep a huge resident set,
+# so each successive query's allocations fight a full heap instead of
+# growing lazily). The oscillation itself reproduced only under
+# concurrent Spark sessions on the same host (self-contention), not
+# from code-cache overflow. Keep the hook, never the default.
+_extra_java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+if _extra_java_opts:
+    BUILD_CONFS["spark.driver.extraJavaOptions"] = _extra_java_opts
 
 
 def configure(spark: SparkSession) -> SparkSession:
