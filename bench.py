@@ -79,26 +79,41 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.perf_counter() - start, 4)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Warm-up protocol, declared in-band: one dq01 run at
-                # the bench SF (session/parquet/JIT), one kv01 run at
-                # sf0.001 (kayvee codegen compiles once per SOURCE
-                # TEXT, identical at any SF), one pandas_udf identity
-                # (Python/Arrow worker pool spawn). Steady-state
-                # timings mirror a deployment where the pipeline
-                # compiles once and runs for hours.
-                "warmup": ["dq01@sf", "kv01@sf0.001", "pandas_pool"],
-            }
-        )
-    )
+    total = round(sum(timings.values()), 2)
+    # The driver records only the LAST ~2000 chars of stdout and
+    # json-parses the final line; 69 full query names blow that budget
+    # (BENCH_r01..r03 all show "parsed": null with the line truncated
+    # mid-number). Emit the canonical line with SHORT keys (the unique
+    # "dq01"/"kv01"/"llm03" prefix of each query name — the mapping is
+    # documented in BASELINE.md) and keep the full-name detail in a
+    # local file for humans.
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    assert len(short) == len(timings), "bench short keys must stay unique"
+    detail = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Warm-up protocol: one dq01 run at the bench SF
+        # (session/parquet/JIT), one kv01 run at sf0.001 (kayvee
+        # codegen compiles once per SOURCE TEXT, identical at any SF),
+        # one pandas_udf identity (Python/Arrow worker pool spawn).
+        # Steady-state timings mirror a deployment where the pipeline
+        # compiles once and runs for hours.
+        "warmup": ["dq01@sf", "kv01@sf0.001", "pandas_pool"],
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+    line = json.dumps({**detail, "queries": short})
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)})"
+    print(line)
     spark.stop()
 
 

@@ -9,9 +9,11 @@ Key reproduced semantics (citations into /root/reference):
   JSON number via ``%.0f`` (3.2 -> "3"); bool -> "true"/"false";
   MISSING field -> dim silently skipped; any other JSON type -> the
   whole record errors (quarantine row here, exception there).
-  Documented divergence: Go ``%.0f`` rounds half-even, Java
-  ``format_string`` HALF_UP — differs only at exact .5 values
-  (SURVEY.md §4; pinned in tests).
+  Documented divergences: Go ``%.0f`` rounds half-even, Java
+  ``format_string`` HALF_UP — differs only at exact .5 values; and
+  ``parse_json`` normalizes ``-0.0`` to ``0.0`` (decimal storage), so
+  the engine renders "0" where Go renders "-0" (SURVEY.md §4; both
+  pinned in tests/test_properties.py).
 - value resolution (alerts_consumer.go:157-192): JSON float ok;
   present-but-not-float errors (even numeric strings, test :230-255);
   missing -> counter 1 / gauge 0; unknown stat_type errors.

@@ -15,38 +15,42 @@ divergence.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (same ns->µs normalization
-    as the batch registry)."""
+    """events.parquet as a bounded stream with the SAME ``ts``
+    normalization as the batch registry (:func:`..sources.load_table`).
+
+    File streams require an explicit schema; hardcoding one is a trap —
+    the fixture generator has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (reads as long nanos under ``nanosAsLong``) and as plain
+    TIMESTAMP(MICROS) (reads as timestamp directly). A nanos-assuming
+    ``DIV 1000`` on a µs file lands every event in 1970 and silently
+    collapses window aggregates. Sniff the unit from the parquet footer
+    (one cheap batch-read plan, no data scan) and convert only when the
+    column really arrives as bigint.
+    """
     # file streams need a directory source; glob-filter to the table
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with local tz); the session tz
+        # is pinned UTC so the cast is value-preserving vs the oracle
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_type_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -70,7 +70,15 @@ def _route(value_field=None, dims=("x",), stat="counter"):
 
 
 def _java_format_0f(x: float) -> str:
-    """Java Formatter %.0f: HALF_UP on the exact binary double value."""
+    """Java Formatter %.0f: HALF_UP on the exact binary double value.
+
+    Negative zero: Spark's ``parse_json`` stores small JSON numbers as
+    decimal and normalizes ``-0.0`` to ``0.0``, so the engine renders
+    "0" where Go's float64 path renders "-0" — documented divergence
+    (SURVEY.md §4), modeled here by dropping the zero sign.
+    """
+    if x == 0.0:
+        x = 0.0  # parse_json collapses -0.0; match the engine
     d = Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
     return str(d)
 
