@@ -211,6 +211,82 @@ def jaccard_pairs(
     )
 
 
+def contamination_scores(
+    corpus: DataFrame, benchmark: DataFrame, shingle: int = 3
+) -> DataFrame:
+    """Benchmark-contamination sweep: for each corpus doc, the fraction
+    of its DISTINCT word n-gram shingles that appear anywhere in the
+    benchmark set (the standard eval-leakage check run before
+    training).
+
+    Scale design: benchmark suites are small by construction (a few
+    thousand docs even for large eval batteries), so the distinct
+    benchmark shingle set is collected into a BROADCAST hash side;
+    the corpus side explodes to (doc_id, shingle) rows — narrow, no
+    text bodies — probes the broadcast map-side (zero shuffle), and
+    re-aggregates per doc_id. The only shuffle is the final count
+    agg keyed by doc_id, with map-side partial aggregation. Docs with
+    fewer than ``shingle`` words carry no signal and are dropped.
+    """
+    bench_sh = (
+        benchmark.select(_tokens(F.col("text")).alias("_toks"))
+        .select(F.explode(shingles_of(F.col("_toks"), shingle)).alias("s"))
+        .distinct()
+        .withColumn("bhit", F.lit(1))
+    )
+    corpus_sh = (
+        spread_for_compute(corpus)
+        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_of(F.col("_toks"), shingle))
+            ).alias("s"),
+        )
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("bhit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def incremental_new_docs(
+    docs_new: DataFrame, docs_old: DataFrame
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: the exact-dedup groups of the
+    NEW snapshot whose content never appeared in the OLD snapshot —
+    the "what do I actually add to the corpus this crawl" query.
+
+    Scale design: both sides reduce to 32-byte md5 fingerprints before
+    any join, so the anti-join shuffles fingerprints, never document
+    bodies. The old side is NOT broadcast — at 100 TB the previous
+    snapshot is the big side; a shuffled hash anti-join on the
+    uniformly-distributed fp key is the right plan (AQE picks the
+    build side). New-side duplicates collapse in the same fp shuffle.
+    """
+    old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
+    new_fp = docs_new.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("fp")
+    )
+    return (
+        new_fp.join(old_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash per doc: bit b of the fingerprint is set when
     the sum over DISTINCT tokens of sign(bit b of hash60(token)) is

@@ -55,6 +55,51 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc word n-gram repetition (the Gopher/C4-style "repetition
+    ratio" quality gate, one n): duplicate-gram fraction
+    ``1 - distinct/total`` and the share of the single most frequent
+    gram. Complements :func:`quality_scores`, whose repetition term is
+    unigram-level.
+
+    Scale design: explode to (doc_id, gram) — narrow rows, no text
+    bodies — then two hash aggregations: (doc_id, gram) counts with
+    map-side partial agg, then per-doc rollup. Both shuffles are keyed
+    by doc_id(+gram), so they distribute evenly regardless of document
+    size; no per-row O(len²) array scans. Docs shorter than ``n``
+    words have no grams and drop out (no signal).
+    """
+    from .dedup import shingles_of
+
+    grams = (
+        spread_for_compute(docs)
+        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", F.explode(shingles_of(F.col("_toks"), n)).alias("g")
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6).alias(
+                "dup_frac"
+            ),
+            F.round(F.col("top_count") / F.col("n_grams"), 6).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-doc quality heuristics: stopword ratio, punctuation ratio,
     repetition (1 - distinct/total), composite score. The score is an

@@ -672,6 +672,84 @@ FROM d, n ORDER BY df DESC, token LIMIT 100
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: docs_id % 97 == 0 plays the
+    (small, broadcastable) eval set; every other doc is scored by the
+    fraction of its distinct 3-gram shingles found in the eval set."""
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_scores(corpus, bench, shingle=3).orderBy("doc_id")
+
+
+SQL_CONTAMINATION = """
+WITH bsh AS (
+  SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents WHERE doc_id % 97 = 0) b,
+       UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+  WHERE len(ws) >= 3),
+csh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents WHERE doc_id % 97 <> 0) c,
+       UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+  WHERE len(ws) >= 3)
+SELECT csh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND(SUM(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination
+FROM csh LEFT JOIN bsh ON csh.s = bsh.s
+GROUP BY csh.doc_id ORDER BY csh.doc_id
+"""
+
+
+def q_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup between snapshots: even doc_ids play the
+    previous crawl, odd doc_ids the new one; returns the new crawl's
+    exact-dedup groups whose content the old snapshot never had."""
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_new_docs(new, old).orderBy("fp")
+
+
+SQL_CROSS_SNAPSHOT = """
+WITH old_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                WHERE doc_id % 2 = 0),
+new_fp AS (SELECT doc_id, md5(text) AS fp FROM documents
+           WHERE doc_id % 2 = 1)
+SELECT fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS copies
+FROM new_fp WHERE fp NOT IN (SELECT fp FROM old_fp)
+GROUP BY fp ORDER BY fp
+"""
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.ngram_repetition(t["documents"], n=3).orderBy("doc_id")
+
+
+SQL_NGRAM_REPETITION = """
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM w, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+      WHERE len(ws) >= 3),
+pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+FROM pg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -693,4 +771,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm18_pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "llm19_doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "llm20_tfidf_vocab": (q_tfidf_vocab, SQL_TFIDF_VOCAB),
+    "llm21_contamination": (q_contamination, SQL_CONTAMINATION),
+    "llm22_cross_snapshot_dedup": (q_cross_snapshot_dedup, SQL_CROSS_SNAPSHOT),
+    "llm23_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
 }

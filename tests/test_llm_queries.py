@@ -284,3 +284,79 @@ def test_chunk_documents_overlapping_windows(spark):
     )
     assert [r.n_words for r in rows] == [100, 100, 70]
     assert len({r.chunk_fp for r in rows}) == 3
+
+
+def test_contamination_planted_overlap(spark):
+    """Exact copy of a benchmark doc scores 1.0, disjoint text 0.0,
+    and a half-overlapping doc the exact shingle fraction."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        contamination_scores,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # full copy -> 1.0
+            (2, "zeta eta theta iota kappa"),  # disjoint -> 0.0
+            (3, "alpha beta gamma nu xi"),  # 1 of 3 shingles hit
+            (4, "too short"),  # <3 words -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_scores(corpus, bench, shingle=3).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].contamination == 1.0 and rows[1].n_hit == 3
+    assert rows[2].contamination == 0.0 and rows[2].n_hit == 0
+    assert rows[3].n_shingles == 3 and rows[3].n_hit == 1
+    assert rows[3].contamination == round(1 / 3, 6)
+
+
+def test_cross_snapshot_dedup_planted(spark):
+    """New-snapshot groups: content already in the old snapshot is
+    dropped; new duplicates collapse to one group with copies=2."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        incremental_new_docs,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "seen before"), (2, "also old")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "seen before"),  # in old -> dropped
+            (3, "brand new"),
+            (5, "brand new"),  # dup within new -> copies 2
+            (7, "also fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.keep_id, r.copies)
+        for r in incremental_new_docs(new, old).collect()
+    }
+    assert got == {(3, 2), (7, 1)}
+
+
+def test_ngram_repetition_constructed_doc(spark):
+    """'a b c' repeated 3x: 7 trigrams, 3 distinct, top gram 'a b c'
+    appears 3 times."""
+    from kinesis_alerts_consumer_spark.operators.text import (
+        ngram_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_repetition(docs, n=3).collect()}
+    assert set(rows) == {1}  # doc 2 has < 3 words
+    r = rows[1]
+    assert (r.n_grams, r.n_distinct) == (7, 3)
+    assert r.dup_frac == round(1 - 3 / 7, 6)
+    assert r.top_share == round(3 / 7, 6)
