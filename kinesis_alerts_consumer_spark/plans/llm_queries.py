@@ -186,12 +186,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.select("vec_id", "embedding").unionAll(dup)
     return D.embedding_near_dup_pairs(
-        base, sign_bits=8, threshold=0.6, max_bucket=1024
+        base, sign_bits=None, threshold=0.6, max_bucket=1024
     ).orderBy("a", "b")
 
 
+# 16-bit sign signature; the adaptive prefix length k (constant
+# expected bucket occupancy, integer-exact formula mirrored from
+# dedup.adaptive_sign_bits) is a scalar subquery: substr(sig, 1, k).
 _SIGN_BUCKET_DUCK = "".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)||" for i in range(8)
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)||"
+    for i in range(16)
 )[:-2]
 
 SQL_EMBEDDING_NEAR_DUP = f"""
@@ -200,7 +204,12 @@ WITH base AS (
   UNION ALL
   SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
 ),
-b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM base),
+kk AS (SELECT LEAST(GREATEST(
+         length(bin(CAST(ceil(COUNT(*) / 32.0) AS BIGINT) - 1)), 1), 16)
+         AS k FROM base),
+b AS (SELECT vec_id, embedding,
+             substr({_SIGN_BUCKET_DUCK}, 1, (SELECT k FROM kk)) AS bucket
+      FROM base),
 keep AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 1024),
 bf AS (SELECT b.vec_id, b.embedding, b.bucket FROM b JOIN keep USING (bucket)),
 p AS (SELECT l.vec_id AS a, r.vec_id AS b,

@@ -360,3 +360,26 @@ def test_ngram_repetition_constructed_doc(spark):
     assert (r.n_grams, r.n_distinct) == (7, 3)
     assert r.dup_frac == round(1 - 3 / 7, 6)
     assert r.top_share == round(3 / 7, 6)
+
+
+def test_adaptive_sign_bits_constant_occupancy():
+    """Integer-exact adaptive-k formula: smallest k with 2^k >=
+    ceil(n/target), clamped [1,16] — and the DuckDB twin expression
+    (length(bin(x-1))) agrees on every boundary."""
+    import duckdb
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        adaptive_sign_bits,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 31, 32, 33, 63, 64, 65, 500, 510, 5010, 50010, 10**7):
+        k = adaptive_sign_bits(n)
+        assert 2**k >= (n + 31) // 32 or k == 16
+        assert k == 1 or 2 ** (k - 1) < (n + 31) // 32
+        duck_k = con.execute(
+            "SELECT LEAST(GREATEST(length(bin(CAST(ceil(? / 32.0) AS "
+            "BIGINT) - 1)), 1), 16)",
+            [n],
+        ).fetchone()[0]
+        assert duck_k == k, (n, k, duck_k)
