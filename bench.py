@@ -5,9 +5,9 @@ Prints ONE JSON line:
 
 Each query is executed via the same path the correctness harness uses
 (register views -> spark.sql / DataFrame op) and fully drained with a
-count-collect so the measured time includes the whole plan, not just
-planning. One warm-up run of dq01 absorbs session/JIT start-up so the
-numbers reflect steady-state execution.
+collect so the measured time includes the whole plan, not just
+planning. Every query is run once un-timed first (time-the-second-run
+protocol) so the numbers reflect steady-state execution.
 """
 
 from __future__ import annotations
@@ -21,6 +21,17 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # A ~150-execution suite (warm-up + timed pass over 72 queries)
+    # overflows HotSpot's default 240 MB code cache; once the JIT
+    # starts flushing, late-suite queries degrade 2-3x (st02 measured
+    # 5.9 s vs 2.4 s steady). 512 MB alone is stable across runs —
+    # unlike the earlier 1g + -Xms + AlwaysPreTouch combo, whose heap
+    # pre-commit caused its own suite-wide slowdown (see session.py).
+    # Bench-local default; any caller-set value wins.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+    )
 
     from kinesis_alerts_consumer_spark.session import get_spark
     from kinesis_alerts_consumer_spark.sources import register_tables
@@ -42,22 +53,21 @@ def main() -> None:
             raise SystemExit(f"unknown SPARK_GRAFT_QUERIES: {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in keep}
 
-    # Warm-up: run EVERY query once at the smallest SF before timing.
-    # A query's first run pays one-time per-QUERY-SHAPE costs that are
-    # independent of data scale — py4j Column-tree construction
-    # (memoized per shape), Catalyst analysis, janino/ HotSpot compile
-    # of the generated code (cached on source text), Python/Arrow
-    # worker-pool spawn — measured at 2-16 s per kayvee/streaming
-    # query vs ~2.5 s steady state at sf0.1. A deployment compiles a
-    # query once and runs it for hours over 100 TB, so steady state is
-    # the number that scales; the warm-up protocol is declared in the
-    # output line ("warmup": "all@sf0.001").
-    smoke = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(smoke):
-        smoke = "/root/testdata/sf0.001"
+    # Warm-up: run EVERY query once at the TARGET SF before timing
+    # (time-the-second-run steady-state protocol). A query's first run
+    # pays one-time per-QUERY-SHAPE costs that are independent of data
+    # scale — py4j Column-tree construction (memoized per shape),
+    # Catalyst analysis, janino/HotSpot compile of the generated code
+    # (cached on source text), Python/Arrow worker-pool spawn —
+    # measured at 2-16 s per kayvee/streaming query vs ~2 s steady
+    # state at sf0.1, and an sf0.001 warm-up still left ~1 s/query of
+    # scale-transition residue (AQE/JIT at the larger input). A
+    # deployment compiles a query once and runs it for hours over
+    # 100 TB, so steady state is the number that scales; the protocol
+    # is declared in the output line ("warmup": "all@sf").
     for name in sorted(qs):
         try:
-            qs[name](spark, smoke).collect()
+            qs[name](spark, sf_dir).collect()
         except Exception as exc:  # timed run will surface it properly
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
@@ -94,12 +104,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # Warm-up protocol: every query once at sf0.001 (absorbs the
-        # scale-independent per-query-shape compile: py4j tree build,
-        # Catalyst analysis, janino codegen, worker-pool spawn), plus
-        # one pandas_udf identity. Steady-state timings mirror a
+        # Warm-up protocol: every query once at the target SF
+        # (absorbs per-query-shape compile: py4j tree build, Catalyst
+        # analysis, janino codegen, worker-pool spawn), plus one
+        # pandas_udf identity. Steady-state timings mirror a
         # deployment where a query compiles once and runs for hours.
-        "warmup": ["all@sf0.001", "pandas_pool"],
+        "warmup": ["all@sf", "pandas_pool"],
     }
     try:
         with open(

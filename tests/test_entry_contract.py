@@ -53,7 +53,7 @@ def test_bench_line_fits_driver_tail_buffer():
             "unit": "sec",
             "queries": short,
             "sf": "0.1",
-            "warmup": ["all@sf0.001", "pandas_pool"],
+            "warmup": ["all@sf", "pandas_pool"],
         }
     )
     assert len(line) < 1900
