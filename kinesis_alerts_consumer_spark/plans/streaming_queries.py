@@ -18,6 +18,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import configure
 from ..streaming.aggregates import (
@@ -153,9 +154,86 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+_ST05_DIRS: list[str] = []
+
+
+def q_stream_kayvee_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE hot path in its real streaming form,
+    under the oracle gate: synthesized kayvee lines replayed as a text
+    file stream through parse → route fan-out → projection →
+    ``foreachBatch`` MetricsSink (DD parquet transport, retry, DLQ,
+    A2 gauge — alerts_consumer.go:55-231), then the sunk DD points
+    aggregated exactly like batch kv01. Shares kv01's oracle SQL, so
+    the driver's hash compare is the streaming/batch equivalence
+    theorem for the full pipeline — not just the window aggregates
+    (st01/st02).
+
+    Runs on a deterministic ~20% md5 hash-sample of events (the llm16
+    retry-stable sampling pattern, mirrored in the oracle): the full
+    replay costs ~16 s at sf0.1 — pure data volume, nothing a warm run
+    amortizes — and the sample exercises every pipeline branch
+    (md5-keyed, so it is decorrelated from the %2/%3/%5/%7 moduli that
+    drive route/dim/stat_type variety in the synthesized lines)."""
+    import shutil
+    import tempfile
+
+    from .kayvee_queries import _kv01_lines, _tables
+
+    t = _tables(spark, sf_dir)
+    t = dict(t)
+    t["events"] = t["events"].filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "33"
+    )
+    # clean up the previous run's scratch (keep the current one: the
+    # returned DataFrame reads the sunk parquet lazily)
+    while len(_ST05_DIRS) > 1:
+        shutil.rmtree(_ST05_DIRS.pop(0), ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="st05_kayvee_")
+    _ST05_DIRS.append(root)
+    src = f"{root}/src"
+    _kv01_lines(t["events"]).write.mode("overwrite").text(src)
+
+    from ..streaming.pipeline import replay_lines
+
+    q = replay_lines(
+        spark, src, f"{root}/out", f"{root}/ckpt", deploy_env="production"
+    )
+    q.awaitTermination(300)
+    dd = spark.read.parquet(f"{root}/out/dd")
+    return (
+        dd.select(
+            "metric",
+            "mtype",
+            F.concat_ws(",", "tags").alias("tags"),
+            "ts",
+            "value",
+        )
+        .groupBy("metric", "mtype", "tags")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("metric", "mtype", "tags")
+    )
+
+
+def _st05_oracle() -> str:
+    from .kayvee_queries import SQL_KAYVEE_ROUTE_PROJECT
+
+    return SQL_KAYVEE_ROUTE_PROJECT.replace(
+        "FROM events",
+        "FROM events"
+        " WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '33'",
+        1,
+    )
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "st01_stream_hourly_rollup": (q_stream_hourly_rollup, SQL_STREAM_HOURLY),
     "st02_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "st03_stream_stateful_totals": (q_stream_stateful_totals, SQL_STREAM_STATEFUL),
     "st04_stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "st05_stream_kayvee_pipeline": (q_stream_kayvee_pipeline, _st05_oracle()),
 }
