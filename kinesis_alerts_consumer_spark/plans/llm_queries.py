@@ -759,6 +759,67 @@ FROM pg GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return S.cosine_topk_pq(
+        t["embeddings"], k=5, num_queries=10, m=4, codebook_k=16, shortlist=25
+    ).orderBy("query_id", "rnk")
+
+
+# l2sq via the three-dot identity — the SAME arithmetic the Spark side
+# uses (sequential double dots), so the doubles are bit-identical and
+# ADC rankings agree across engines.
+_DUCK_L2SQ = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+SQL_ANN_TOPK_PQ = f"""
+WITH p AS (SELECT CAST(len(embedding) / 4 AS INT) AS s
+           FROM embeddings LIMIT 1),
+sp AS (SELECT UNNEST(generate_series(0, 3)) AS subspace),
+vs AS (SELECT e.vec_id, sp.subspace,
+              CAST(e.embedding[sp.subspace*p.s+1 : sp.subspace*p.s+p.s]
+                   AS DOUBLE[]) AS sub
+       FROM embeddings e, sp, p),
+books AS (SELECT vec_id AS centroid_id, subspace, sub AS cvec
+          FROM vs WHERE vec_id < 16),
+enc AS (SELECT vec_id, subspace, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d ASC, centroid_id) AS rn
+        FROM (SELECT v.vec_id, v.subspace, b.centroid_id,
+                     {_DUCK_L2SQ.format(a='v.sub', b='b.cvec')} AS d
+              FROM vs v JOIN books b USING (subspace))),
+codes AS (SELECT vec_id, subspace, centroid_id AS code
+          FROM enc WHERE rn = 1),
+lut AS (SELECT v.vec_id AS query_id, v.subspace,
+               b.centroid_id AS code,
+               {_DUCK_L2SQ.format(a='v.sub', b='b.cvec')} AS d
+        FROM vs v JOIN books b USING (subspace) WHERE v.vec_id < 10),
+adc AS (SELECT l.query_id, c.vec_id, ROUND(SUM(l.d), 6) AS adist
+        FROM codes c
+        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+        WHERE l.query_id <> c.vec_id
+        GROUP BY l.query_id, c.vec_id),
+short AS (SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, vec_id) AS rn
+            FROM adc) WHERE rn <= 25),
+rer AS (SELECT s.query_id, s.neighbor_id,
+               {_DUCK_COS.format(a='q.embedding', b='e.embedding')} AS cos
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN embeddings q ON q.vec_id = s.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM rer)
+SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -783,4 +844,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm21_contamination": (q_contamination, SQL_CONTAMINATION),
     "llm22_cross_snapshot_dedup": (q_cross_snapshot_dedup, SQL_CROSS_SNAPSHOT),
     "llm23_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
+    "llm24_ann_cosine_topk_pq": (q_ann_cosine_topk_pq, SQL_ANN_TOPK_PQ),
 }

@@ -383,3 +383,26 @@ def test_adaptive_sign_bits_constant_occupancy():
             [n],
         ).fetchone()[0]
         assert duck_k == k, (n, k, duck_k)
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC (m=4, 16-entry codebooks) + exact re-rank of a 25-deep
+    shortlist: recall@5 against brute force stays well above chance,
+    and every returned cosine is an EXACT cosine (re-ranked), so any
+    overlapping (query, neighbor) pair agrees with brute force."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in LLM_QUERIES["llm06_ann_cosine_topk"][0](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in LLM_QUERIES["llm24_ann_cosine_topk_pq"][0](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    hits = exact.keys() & approx.keys()
+    recall = len(hits) / len(exact)
+    assert recall > 0.2, f"PQ recall collapsed: {recall}"
+    assert all(exact[p] == approx[p] for p in hits)
