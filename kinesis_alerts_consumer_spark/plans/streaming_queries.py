@@ -230,10 +230,67 @@ def _st05_oracle() -> str:
     )
 
 
+_ST06_DIRS: list[str] = []
+
+
+def q_stream_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 volume rollup in the reference's PROCESSING-TIME mode under
+    the oracle gate: line replay → per-micro-batch (env, app, team)
+    deltas appended per tick (metrics.go:79-103; each micro-batch is
+    the 1-minute tick), then the shipped ticks re-summed. The re-sum
+    equals the batch aggregate REGARDLESS of how the replay split into
+    batches — which is exactly A1's accumulate/ship/reset invariant,
+    so the hash compare proves tick-splitting loses nothing. Same ~20%
+    md5 event sample as st05 (mirrored in the oracle)."""
+    import shutil
+    import tempfile
+
+    from .kayvee_queries import _tables, _vol_lines
+
+    t = dict(_tables(spark, sf_dir))
+    t["events"] = t["events"].filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "33"
+    )
+    while len(_ST06_DIRS) > 1:
+        shutil.rmtree(_ST06_DIRS.pop(0), ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="st06_volume_")
+    _ST06_DIRS.append(root)
+    src = f"{root}/src"
+    _vol_lines(t["events"]).write.mode("overwrite").text(src)
+
+    from ..streaming.pipeline import volume_rollup_processing_time
+
+    q = volume_rollup_processing_time(
+        spark, src, f"{root}/out", f"{root}/ckpt", deploy_env="production"
+    )
+    q.awaitTermination(300)
+    ticks = spark.read.parquet(f"{root}/out")
+    return (
+        ticks.groupBy("env", "app", "team")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("size").cast("bigint").alias("size"),
+        )
+        .orderBy("env", "app", "team")
+    )
+
+
+def _st06_oracle() -> str:
+    from .kayvee_queries import SQL_LOG_VOLUME
+
+    return SQL_LOG_VOLUME.replace(
+        "FROM events",
+        "FROM events"
+        " WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '33'",
+        1,
+    )
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "st01_stream_hourly_rollup": (q_stream_hourly_rollup, SQL_STREAM_HOURLY),
     "st02_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "st03_stream_stateful_totals": (q_stream_stateful_totals, SQL_STREAM_STATEFUL),
     "st04_stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "st05_stream_kayvee_pipeline": (q_stream_kayvee_pipeline, _st05_oracle()),
+    "st06_stream_volume_rollup": (q_stream_volume_rollup, _st06_oracle()),
 }
