@@ -94,3 +94,84 @@ def pack_sequences(
             "bigint"
         ),
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    temperature: float = 2.0,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted dataset-mixture plan (the standard
+    multilingual mixing step): per stratum, the target weight is
+    ``tokens^(1/T)`` normalized over strata — T=1 is proportional
+    (high-resource strata dominate), T→∞ is uniform — and the
+    acceptance rate is the one that hits ``weight * budget`` tokens,
+    capped at 1 (a stratum smaller than its target share is taken
+    whole; the standard mixing compromise). Feed the rates to
+    :func:`hash_sample` to materialize the mix deterministically.
+
+    Output per stratum: n_docs, n_tokens, weight, rate,
+    expected_tokens.
+
+    Determinism device: per-stratum scores are INTEGER floor(sqrt)
+    values (T=2), so every cross-stratum sum is exact integer
+    arithmetic — a float SUM's addition order differs between Spark
+    partitions and the DuckDB oracle and can flip a ROUND at a ULP
+    boundary; integers cannot. Only the final weight/rate divisions
+    are floats, computed in a fixed expression order from exact
+    integers. (A general-T variant would accept the float-sum risk or
+    collect the tiny per-stratum frame; T=2 is the standard choice.)
+    Scale shape: one integer-sum aggregation over the corpus plus
+    arithmetic on the tiny per-stratum frame.
+    """
+    if temperature != 2.0:
+        raise ValueError(
+            "mixture_plan is specified for temperature=2.0 "
+            "(integer-sqrt determinism device)"
+        )
+    per = (
+        docs.select(
+            F.col(stratum_col).alias("stratum"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nt"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "s", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+        )
+    )
+    tot = per.agg(
+        F.sum("s").cast("bigint").alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    weight = F.round(F.col("s") / F.col("z"), 6)
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        F.floor(F.col("total_tokens") * budget_frac)
+        .cast("bigint")
+        .alias("_budget"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("weight") * F.col("_budget") / F.col("n_tokens"),
+        ),
+        6,
+    )
+    return out.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        rate.alias("rate"),
+    ).withColumn(
+        "expected_tokens",
+        F.floor(F.col("rate") * F.col("n_tokens")).cast("bigint"),
+    )

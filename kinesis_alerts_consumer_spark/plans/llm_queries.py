@@ -820,6 +820,40 @@ ORDER BY query_id, rnk
 """
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    from ..operators.sampling import mixture_plan
+
+    return mixture_plan(
+        t["documents"], stratum_col="lang", temperature=2.0, budget_frac=0.5
+    ).orderBy("stratum")
+
+
+SQL_MIXTURE_PLAN = """
+WITH per AS (
+  SELECT lang AS stratum, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang),
+p2 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s
+       FROM per),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS z,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM p2),
+w AS (SELECT stratum, n_docs, n_tokens,
+             ROUND(s / CAST(z AS DOUBLE), 6) AS weight,
+             CAST(floor(total_tokens * 0.5) AS BIGINT) AS budget
+      FROM p2, tot)
+SELECT stratum, n_docs, n_tokens, weight,
+       ROUND(LEAST(1.0, weight * budget / CAST(n_tokens AS DOUBLE)), 6)
+         AS rate,
+       CAST(floor(ROUND(LEAST(1.0, weight * budget
+                              / CAST(n_tokens AS DOUBLE)), 6)
+                  * n_tokens) AS BIGINT) AS expected_tokens
+FROM w ORDER BY stratum
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -845,4 +879,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm22_cross_snapshot_dedup": (q_cross_snapshot_dedup, SQL_CROSS_SNAPSHOT),
     "llm23_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
     "llm24_ann_cosine_topk_pq": (q_ann_cosine_topk_pq, SQL_ANN_TOPK_PQ),
+    "llm25_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
 }
