@@ -406,3 +406,31 @@ def test_pq_topk_recall_vs_exact(spark):
     recall = len(hits) / len(exact)
     assert recall > 0.2, f"PQ recall collapsed: {recall}"
     assert all(exact[p] == approx[p] for p in hits)
+
+
+def test_mixture_plan_invariants(spark):
+    """T=2 mixing plan: weights sum to ~1, rates bounded (0,1],
+    expected tokens never exceed the stratum, and a stratum smaller
+    than its target share is taken whole (rate 1)."""
+    from kinesis_alerts_consumer_spark.operators.sampling import (
+        mixture_plan,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    t = register_tables(spark, SF_SMOKE)
+    rows = mixture_plan(t["documents"]).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r.rate <= 1.0
+        assert 0 <= r.expected_tokens <= r.n_tokens
+    total = sum(r.n_tokens for r in rows)
+    # a low-resource stratum whose weight*budget exceeds its own size
+    # must be fully kept
+    for r in rows:
+        if r.weight * (total * 0.5) >= r.n_tokens:
+            assert r.rate == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_plan(t["documents"], temperature=1.5)
