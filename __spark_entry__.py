@@ -47,13 +47,19 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     2. llm01-20 — llm01-17 were green in r01/r02 but dropped out of
        the r03 window; re-pin them.
     3. kv/vol, mm, st03/st04, ext01-04 — green in r03, keep in-window.
-    4. dq01-09 — fills the window to 48 (dq family is triple-green;
-       the cheapest family to rotate out).
+    4. dq01-... — whatever fits fills the window to 48 (dq family is
+       triple-green; the cheapest family to rotate out). With the
+       round-4 surface (25 llm + 8 kv/vol + 3 mm + 6 st + 4 ext
+       oracle-backed = 46 non-dq entries) only dq01-02 fit.
     5. ext06 then ext05 at positions 49-50: both are no-oracle
        rows-only entries; ext06 has NEVER had a driver row. They sit
        last inside the window so that if the driver instead halts at
        the first no-oracle entry, nothing oracle-backed is lost.
-    6. dq10-28 — outside the window (green in r01+r02+r03).
+    6. remaining dq — outside the window (green in r01+r02+r03).
+       tests/test_entry_contract.py pins the layout; it recomputes
+       from the live dicts, so ADDING an oracle-backed query silently
+       evicts a dq — fine until dq runs out, then ext06/ext05 slide
+       past 50 and the contract test fails loudly.
     """
     entries: list[tuple[str, Callable, str | None]] = []
 

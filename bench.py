@@ -18,11 +18,41 @@ import sys
 import time
 
 
+def build_bench_line(timings: dict[str, float], sf: str) -> str:
+    """The canonical stdout JSON line. The driver records only the
+    LAST ~2000 chars of stdout and json-parses the final line; full
+    query names blow that budget (BENCH_r01..r03 all show
+    "parsed": null with the line truncated mid-number), so the line
+    uses SHORT keys — the unique "dq01"/"kv01"/"llm03" name prefix of
+    each query (mapping documented in BASELINE.md). The contract test
+    calls THIS function so test and emitter cannot drift."""
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    assert len(short) == len(timings), "bench short keys must stay unique"
+    line = json.dumps(
+        {
+            "metric": "declared_query_suite_wall_clock",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+            # Warm-up protocol: every query once at the target SF
+            # (absorbs per-query-shape compile: py4j tree build,
+            # Catalyst analysis, janino codegen, worker-pool spawn),
+            # plus one pandas_udf identity. Steady-state timings
+            # mirror a deployment where a query compiles once and
+            # runs for hours.
+            "warmup": ["all@sf", "pandas_pool"],
+        }
+    )
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)})"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # A ~150-execution suite (warm-up + timed pass over 72 queries)
+    # A ~150-execution suite (warm-up + timed pass over the full surface)
     # overflows HotSpot's default 240 MB code cache; once the JIT
     # starts flushing, late-suite queries degrade 2-3x (st02 measured
     # 5.9 s vs 2.4 s steady). 512 MB alone is stable across runs —
@@ -88,29 +118,9 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.perf_counter() - start, 4)
 
-    total = round(sum(timings.values()), 2)
-    # The driver records only the LAST ~2000 chars of stdout and
-    # json-parses the final line; 69 full query names blow that budget
-    # (BENCH_r01..r03 all show "parsed": null with the line truncated
-    # mid-number). Emit the canonical line with SHORT keys (the unique
-    # "dq01"/"kv01"/"llm03" prefix of each query name — the mapping is
-    # documented in BASELINE.md) and keep the full-name detail in a
-    # local file for humans.
-    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
-    assert len(short) == len(timings), "bench short keys must stay unique"
-    detail = {
-        "metric": "declared_query_suite_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        # Warm-up protocol: every query once at the target SF
-        # (absorbs per-query-shape compile: py4j tree build, Catalyst
-        # analysis, janino codegen, worker-pool spawn), plus one
-        # pandas_udf identity. Steady-state timings mirror a
-        # deployment where a query compiles once and runs for hours.
-        "warmup": ["all@sf", "pandas_pool"],
-    }
+    line = build_bench_line(timings, sf)
+    # full-name detail for humans; stdout line is the driver contract
+    detail = {**json.loads(line), "queries": timings}
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -119,8 +129,6 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
-    line = json.dumps({**detail, "queries": short})
-    assert len(line) < 1900, f"bench JSON line too long ({len(line)})"
     print(line)
     spark.stop()
 

@@ -271,20 +271,15 @@ def incremental_new_docs(
 
     Scale design: both sides reduce to 32-byte md5 fingerprints before
     any join, so the anti-join shuffles fingerprints, never document
-    bodies. The old side is NOT broadcast — at 100 TB the previous
-    snapshot is the big side; a shuffled hash anti-join on the
-    uniformly-distributed fp key is the right plan (AQE picks the
-    build side). New-side duplicates collapse in the same fp shuffle.
+    bodies — and the new side collapses to its :func:`exact_dedup`
+    groups FIRST, so the anti-join sees one row per distinct fp
+    instead of one per document. The old side is NOT broadcast — at
+    100 TB the previous snapshot is the big side; a shuffled hash
+    anti-join on the uniformly-distributed fp key is the right plan
+    (AQE picks the build side).
     """
     old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
-    new_fp = docs_new.select(
-        F.col("doc_id"), F.md5(F.col("text")).alias("fp")
-    )
-    return (
-        new_fp.join(old_fp, "fp", "left_anti")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
-    )
+    return exact_dedup(docs_new).join(old_fp, "fp", "left_anti")
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

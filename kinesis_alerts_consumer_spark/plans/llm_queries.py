@@ -733,9 +733,13 @@ WITH old_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents
 new_fp AS (SELECT doc_id, md5(text) AS fp FROM documents
            WHERE doc_id % 2 = 1)
 SELECT fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS copies
-FROM new_fp WHERE fp NOT IN (SELECT fp FROM old_fp)
+FROM new_fp n
+WHERE NOT EXISTS (SELECT 1 FROM old_fp o WHERE o.fp = n.fp)
 GROUP BY fp ORDER BY fp
 """
+# NOT EXISTS, not NOT IN: a single NULL fp in the old snapshot makes
+# NOT IN return the empty set, while Spark's left_anti keeps every
+# non-matching row — NOT EXISTS has left_anti's NULL semantics.
 
 
 def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,8 +779,8 @@ _DUCK_L2SQ = (
 )
 
 SQL_ANN_TOPK_PQ = f"""
-WITH p AS (SELECT CAST(len(embedding) / 4 AS INT) AS s
-           FROM embeddings LIMIT 1),
+WITH p AS (SELECT CAST(floor(MIN(len(embedding)) / 4) AS INT) AS s
+           FROM embeddings),
 sp AS (SELECT UNNEST(generate_series(0, 3)) AS subspace),
 vs AS (SELECT e.vec_id, sp.subspace,
               CAST(e.embedding[sp.subspace*p.s+1 : sp.subspace*p.s+p.s]

@@ -28,6 +28,17 @@ from ..streaming.aggregates import (
 )
 
 
+def _await(q, timeout: int = 600) -> None:
+    """Wait for a bounded replay; FAIL on timeout instead of letting
+    the caller read a partially-committed sink (awaitTermination's
+    False return is silent) while the stream keeps running."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay did not finish within {timeout}s"
+        )
+
+
 def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
     name = "st_" + uuid.uuid4().hex[:12]
     q = (
@@ -37,7 +48,7 @@ def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return spark.table(name)
 
 
@@ -98,7 +109,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     # running counts are monotone: the max per user is the final state
     return (
         spark.table(name)
@@ -139,7 +150,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -198,7 +209,7 @@ def q_stream_kayvee_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = replay_lines(
         spark, src, f"{root}/out", f"{root}/ckpt", deploy_env="production"
     )
-    q.awaitTermination(300)
+    _await(q)
     dd = spark.read.parquet(f"{root}/out/dd")
     return (
         dd.select(
@@ -263,7 +274,7 @@ def q_stream_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = volume_rollup_processing_time(
         spark, src, f"{root}/out", f"{root}/ckpt", deploy_env="production"
     )
-    q.awaitTermination(300)
+    _await(q)
     ticks = spark.read.parquet(f"{root}/out")
     return (
         ticks.groupBy("env", "app", "team")

@@ -43,17 +43,13 @@ def test_driver_window_priority():
 
 
 def test_bench_line_fits_driver_tail_buffer():
+    """Exercises bench.py's REAL line builder (not a replica), so any
+    key added to the emitted line or change to the short-key scheme is
+    measured against the driver's ~2000-char tail buffer here."""
+    from bench import build_bench_line
+
     names = list(entry.queries())
-    short = {n.split("_", 1)[0]: 12345.67 for n in names}
-    assert len(short) == len(names), "short bench keys must stay unique"
-    line = json.dumps(
-        {
-            "metric": "declared_query_suite_wall_clock",
-            "value": 12345.67,
-            "unit": "sec",
-            "queries": short,
-            "sf": "0.1",
-            "warmup": ["all@sf", "pandas_pool"],
-        }
-    )
+    line = build_bench_line({n: 12345.6789 for n in names}, "0.1")
+    parsed = json.loads(line)
     assert len(line) < 1900
+    assert parsed["unit"] == "sec" and len(parsed["queries"]) == len(names)
