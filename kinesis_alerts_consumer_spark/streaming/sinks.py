@@ -59,7 +59,6 @@ class RetryPolicy:
                     return exc
                 time.sleep(backoff)
                 backoff *= 2
-        return None
 
 
 @dataclass
@@ -119,7 +118,19 @@ class MetricsSink:
                 .partitionBy("tag")
                 .parquet(self._path("dd"))
             )
-            err = self.retry.run(lambda: submit(dd))
+            if getattr(submit, "handles_retry", False):
+                # Executor-side transports (DatadogTransport.submit)
+                # retry per partition inside the task; wrapping them in
+                # the sink's RetryPolicy would re-run the whole job per
+                # attempt and re-POST partitions that already
+                # succeeded. One call; a raise parks the batch below.
+                try:
+                    submit(dd)
+                    err = None
+                except Exception as exc:  # noqa: BLE001 — park, don't crash
+                    err = exc
+            else:
+                err = self.retry.run(lambda: submit(dd))
             if err is not None:
                 # PartialSendBatchError analogue: park the whole batch.
                 dd.write.mode("append").parquet(self._path("failed"))

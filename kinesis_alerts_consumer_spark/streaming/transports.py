@@ -22,10 +22,18 @@ Reference behavior reproduced (citations into /root/reference):
   are signed with a pure-stdlib AWS Signature V4 implementation (public
   AWS spec).
 
-Both transports collect the frame driver-side: the DD batch is bounded
-by the <=100-record micro-batch (main.go:56-57) and the CW frame is
-allowlist-gated, so the network round-trip — not the collect — is the
-cost. ``urlopen`` is injectable for tests.
+Scale posture (the reference emits ~1 point per routed record, so a
+saturated replay makes dd_points as big as the input): the Datadog
+transport submits FROM THE EXECUTORS — ``submit`` runs
+``df.foreachPartition``; each partition builds and POSTs its own
+<=1000-series chunks with the reference's 5x50 ms retry
+(alerts_consumer.go:257-269) applied per partition. Nothing is
+materialized on the driver at any batch size. The CloudWatch frame is
+allowlist-gated (allowlist.go:8-10) and therefore bounded-small; it
+stays a driver-side collect by design. ``urlopen`` is injectable for
+tests (it is pickled into the partition closure, so side effects of a
+fake are only visible driver-side when calling the chunk-level
+helpers directly).
 """
 
 from __future__ import annotations
@@ -55,28 +63,73 @@ class TransportError(RuntimeError):
 
 @dataclass
 class DatadogTransport:
-    """Datadog v1 series submission with the reference's 202 check."""
+    """Datadog v1 series submission with the reference's 202 check.
+
+    Executor-side: :meth:`submit` never collects — the dataclass is
+    pickled into a ``foreachPartition`` closure and every partition
+    POSTs its own chunks, retrying independently (retry + park
+    semantics from alerts_consumer.go:257-269; the park itself is the
+    sink's job, triggered by the raised :class:`TransportError`).
+    """
 
     api_key: str
     base_url: str = "https://api.datadoghq.com"
     timeout_s: float = 30.0
-    # One reference submit == one batch; cap request size defensively.
+    # DD caps payload size; chunk each partition's series defensively.
     max_series_per_request: int = 1000
     urlopen: Callable = field(default=_default_urlopen, repr=False)
+    # Per-partition retry: 5 attempts, exponential backoff from 50 ms
+    # per POST (reference retrier, alerts_consumer.go:257; metrics.go:42).
+    retry_attempts: int = 5
+    retry_initial_backoff_s: float = 0.05
 
-    def submit(self, df: DataFrame) -> None:
-        """Submit one micro-batch of DD points (sinks.dd_points rows)."""
-        series = [
+    @staticmethod
+    def build_series(rows) -> list[dict]:
+        """DD v1 series payload entries from dd_points rows/mappings."""
+        return [
             {
                 "metric": r["metric"],
                 "type": r["mtype"],
                 "points": [[int(r["ts"]), float(r["value"])]],
                 "tags": list(r["tags"] or []),
             }
-            for r in df.collect()
+            for r in rows
         ]
+
+    def post_series(self, series: list[dict]) -> None:
+        """POST one series list in <=max_series_per_request chunks,
+        each chunk retried with the reference's backoff schedule."""
         for i in range(0, len(series), self.max_series_per_request):
-            self._post({"series": series[i : i + self.max_series_per_request]})
+            chunk = series[i : i + self.max_series_per_request]
+            backoff = self.retry_initial_backoff_s
+            for attempt in range(self.retry_attempts):
+                try:
+                    self._post({"series": chunk})
+                    break
+                except Exception:
+                    if attempt == self.retry_attempts - 1:
+                        raise
+                    import time
+
+                    time.sleep(backoff)
+                    backoff *= 2
+
+    def submit_partition(self, rows) -> None:
+        """Per-partition submit: build + chunked retried POSTs. Runs
+        on executors via :meth:`submit`; callable directly for tests."""
+        series = self.build_series(rows)
+        if series:
+            self.post_series(series)
+
+    def submit(self, df: DataFrame) -> None:
+        """Submit one micro-batch of DD points (sinks.dd_points rows)
+        from the executors — no driver-side materialization."""
+        df.foreachPartition(self.submit_partition)
+
+    # The transport retries inside each partition task; the sink must
+    # not wrap it in its own RetryPolicy (that would re-run the whole
+    # Spark job per attempt, re-POSTing partitions that succeeded).
+    submit.handles_retry = True
 
     def _post(self, payload: dict) -> None:
         req = urllib.request.Request(

@@ -1,21 +1,33 @@
 """Mocked-HTTP tests for the Datadog / CloudWatch transports.
 
 Pin the reference's wire semantics: DD success is exactly HTTP 202
-(metrics.go:160-168); a non-202 raises so the sink's 5x50ms retrier
-(alerts_consumer.go:257) governs redelivery; CW PutMetricData is a
-SigV4-signed form POST with <=20 data (allowlist.go:6-7).
+(metrics.go:160-168); a non-202 retries 5x from 50 ms then raises so
+the sink parks the batch (alerts_consumer.go:257-269); CW
+PutMetricData is a SigV4-signed form POST with <=20 data
+(allowlist.go:6-7).
+
+The DD transport submits from executors (``foreachPartition``), so
+payload/chunk/retry shape is unit-tested driver-side through
+``submit_partition``/``post_series`` with a fake ``urlopen``, and the
+executor path end-to-end against a real localhost HTTP server (the
+only observable channel out of the Python workers).
 """
 
 from __future__ import annotations
 
 import datetime
+import http.server
 import io
 import json
+import threading
 import urllib.parse
 
 import pytest
 
-from kinesis_alerts_consumer_spark.streaming.sinks import RetryPolicy
+from kinesis_alerts_consumer_spark.streaming.sinks import (
+    MetricsSink,
+    RetryPolicy,
+)
 from kinesis_alerts_consumer_spark.streaming.transports import (
     AwsCredentials,
     CloudWatchTransport,
@@ -64,14 +76,29 @@ def cw_frame(spark, n=2):
     return spark.createDataFrame(rows, CW_SCHEMA)
 
 
-def test_dd_submit_202_payload(spark):
+def dd_rows(n=2):
+    """Plain-dict dd_points rows for driver-side partition-level tests."""
+    return [
+        {
+            "tag": "default",
+            "metric": "kv.series-name",
+            "mtype": "count",
+            "tags": ["env:test", "x:1"],
+            "ts": 1500 + i,
+            "value": float(i),
+        }
+        for i in range(n)
+    ]
+
+
+def test_dd_submit_202_payload():
     seen = []
 
     def fake_urlopen(req, timeout):
         seen.append(req)
         return FakeResponse(202)
 
-    DatadogTransport("k3y", urlopen=fake_urlopen).submit(dd_frame(spark))
+    DatadogTransport("k3y", urlopen=fake_urlopen).submit_partition(dd_rows())
     assert len(seen) == 1
     req = seen[0]
     assert req.full_url == "https://api.datadoghq.com/api/v1/series"
@@ -83,14 +110,21 @@ def test_dd_submit_202_payload(spark):
     assert "env:test" in payload["series"][0]["tags"]
 
 
-def test_dd_non_202_raises(spark):
+def test_dd_non_202_raises_after_retries():
+    calls = []
+
+    def fake_urlopen(req, timeout):
+        calls.append(1)
+        return FakeResponse(200)
+
     with pytest.raises(TransportError, match="want 202"):
         DatadogTransport(
-            "k", urlopen=lambda req, timeout: FakeResponse(200)
-        ).submit(dd_frame(spark))
+            "k", urlopen=fake_urlopen, retry_initial_backoff_s=0.001
+        ).submit_partition(dd_rows())
+    assert len(calls) == 5  # reference retrier: 5 attempts
 
 
-def test_dd_chunks_large_batches(spark):
+def test_dd_chunks_large_batches():
     calls = []
 
     def fake_urlopen(req, timeout):
@@ -98,13 +132,21 @@ def test_dd_chunks_large_batches(spark):
         return FakeResponse(202)
 
     t = DatadogTransport("k", urlopen=fake_urlopen, max_series_per_request=3)
-    t.submit(dd_frame(spark, n=7))
+    t.submit_partition(dd_rows(n=7))
     assert calls == [3, 3, 1]
 
 
-def test_dd_retry_integration(spark):
-    """Transport failure flows through the sink's RetryPolicy: two 500s
-    then a 202 -> success on the third attempt."""
+def test_dd_empty_partition_no_call():
+    calls = []
+    DatadogTransport(
+        "k", urlopen=lambda req, timeout: calls.append(req) or FakeResponse(202)
+    ).submit_partition([])
+    assert calls == []
+
+
+def test_dd_retry_per_chunk():
+    """Per-partition retry: two 500s then a 202 -> success on the
+    third POST attempt, no exception (alerts_consumer.go:257)."""
     statuses = iter([500, 500, 202])
     attempts = []
 
@@ -113,13 +155,103 @@ def test_dd_retry_integration(spark):
         attempts.append(status)
         return FakeResponse(status)
 
-    transport = DatadogTransport("k", urlopen=fake_urlopen)
-    df = dd_frame(spark)
-    err = RetryPolicy(initial_backoff_s=0.001).run(
-        lambda: transport.submit(df)
-    )
-    assert err is None
+    DatadogTransport(
+        "k", urlopen=fake_urlopen, retry_initial_backoff_s=0.001
+    ).submit_partition(dd_rows())
     assert attempts == [500, 500, 202]
+
+
+class _RecordingDDHandler(http.server.BaseHTTPRequestHandler):
+    """Records series-counts per POST; programmable status sequence."""
+
+    bodies: list = []
+    statuses: list = []  # consumed front-first; empty -> 202
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        n = int(self.headers["Content-Length"])
+        payload = json.loads(self.rfile.read(n).decode())
+        type(self).bodies.append(len(payload["series"]))
+        status = type(self).statuses.pop(0) if type(self).statuses else 202
+        self.send_response(status)
+        self.send_header("Content-Length", "2")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def dd_server():
+    _RecordingDDHandler.bodies = []
+    _RecordingDDHandler.statuses = []
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _RecordingDDHandler
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", _RecordingDDHandler
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_dd_submit_is_executor_side_and_chunked(spark, dd_server):
+    """End-to-end through foreachPartition against a real local HTTP
+    endpoint: every partition posts its own <=max chunks; totals add
+    up; nothing is collected driver-side (submit never touches
+    df.collect — the data only reaches the test via the server)."""
+    base_url, handler = dd_server
+    t = DatadogTransport(
+        "k", base_url=base_url, max_series_per_request=3,
+        retry_initial_backoff_s=0.001,
+    )
+    assert t.submit.handles_retry is True
+    t.submit(dd_frame(spark, n=10).repartition(4))
+    assert sum(handler.bodies) == 10
+    assert all(1 <= b <= 3 for b in handler.bodies)
+    assert len(handler.bodies) >= 4  # at least one POST per partition
+
+
+def test_dd_submit_partition_failure_propagates(spark, dd_server):
+    base_url, handler = dd_server
+    handler.statuses = [500] * 50
+    t = DatadogTransport(
+        "k", base_url=base_url, retry_initial_backoff_s=0.001
+    )
+    with pytest.raises(Exception, match="want 202"):
+        t.submit(dd_frame(spark, n=4).repartition(1))
+    assert len(handler.bodies) == 5  # 5 attempts in the one partition
+
+
+def test_sink_parks_batch_once_for_self_retrying_transport(spark, tmp_path):
+    """A transport that declares handles_retry is called exactly once
+    by the sink (no 5x5 double retry); its failure parks the batch to
+    failed/ (PartialSendBatchError analogue, main.go:55)."""
+    from kinesis_alerts_consumer_spark.pipeline import process_lines
+
+    calls = []
+
+    def failing(df):
+        calls.append(1)
+        raise TransportError("datadog submit: HTTP 500, want 202")
+
+    failing.handles_retry = True
+    lines = spark.createDataFrame(
+        [(
+            "2021-01-01T00:00:00 host p--a/arn[1]: "
+            '{"value": 1, "_kvmeta": {"team": "t", "routes": [{"type": '
+            '"alerts", "series": "s", "dimensions": [], "stat_type": '
+            '"counter", "value_field": "value", "rule": "r"}]}}',
+        )],
+        "value string",
+    )
+    sink = MetricsSink(
+        str(tmp_path), submit_dd=failing,
+        retry=RetryPolicy(initial_backoff_s=0.001),
+    )
+    sink.process_batch(process_lines(lines, "value", "test-env"), batch_id=0)
+    assert len(calls) == 1
+    assert spark.read.parquet(str(tmp_path / "failed")).count() == 1
 
 
 def test_cw_sigv4_put_metric_data(spark):
