@@ -207,9 +207,15 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     sign-pattern bucket plus (multi-probe) every bucket within Hamming
-    distance ``probe_radius`` — the standard recall/cost lever. All
-    deterministic (axis-aligned hyperplanes), so the oracle replays it
-    exactly; recall < 1 by design."""
+    distance ``probe_radius`` (<=2) — the standard recall/cost lever.
+    All deterministic (axis-aligned hyperplanes — measured BETTER than
+    pseudo-random Rademacher planes on these fixtures, whose cluster
+    signal lives in the leading coordinates), so the oracle replays it
+    exactly; recall < 1 by design. Probed-bucket count is
+    ``1 + C(bits,1) [+ C(bits,2)]`` of ``2^bits`` — at production bit
+    widths (16+) radius 2 still prunes >99% of buckets."""
+    if probe_radius > 2:
+        raise ValueError("probe_radius > 2 not implemented")
     sig = F.concat_ws(
         "",
         *[
@@ -222,6 +228,13 @@ def cosine_topk_lsh(
     probes = [F.col("qb")]
     if probe_radius >= 1:
         probes += [_flip_bit(F.col("qb"), i + 1) for i in range(sign_bits)]
+    if probe_radius >= 2:
+        import itertools
+
+        probes += [
+            _flip_bit(_flip_bit(F.col("qb"), i + 1), j + 1)
+            for i, j in itertools.combinations(range(sign_bits), 2)
+        ]
     queries = (
         b.filter(F.col("vec_id") < num_queries)
         .select(
@@ -271,13 +284,26 @@ def l2sq(a: Column, b: Column) -> Column:
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 
 
+def _global_sub_len(emb: DataFrame, m: int) -> int:
+    """``min(dim) // m`` as one scalar — the SAME global value the
+    DuckDB oracle uses (``MIN(len(embedding))``), so the engines can
+    never diverge on rows with a stray dimensionality. One tiny
+    column-pruned agg job per top-level call."""
+    dim = emb.agg(F.min(F.size("embedding"))).first()[0]
+    if not dim or dim < m:
+        raise ValueError(f"embedding dim {dim} < m={m} subspaces")
+    return dim // m
+
+
 def _subvectors(
-    emb: DataFrame, m: int, id_col: str, out_id: str
+    emb: DataFrame, m: int, id_col: str, out_id: str, sub_len: int
 ) -> DataFrame:
     """(id, subspace, sub) rows: the embedding split into ``m``
-    contiguous sub-vectors (dim/m each, computed from the array size
-    so no dimension constant is hardcoded)."""
-    sub_len = (F.size("embedding") / m).cast("int")
+    contiguous sub-vectors of ``sub_len`` each (a GLOBAL constant from
+    :func:`_global_sub_len`, not per-row ``size(embedding)/m`` — a
+    per-row split would silently diverge from the oracle's global MIN
+    if dimensions ever varied across rows)."""
+    sub_len = F.lit(int(sub_len))
     return (
         emb.select(F.col(id_col).alias(out_id), "embedding")
         .select(
@@ -296,7 +322,11 @@ def _subvectors(
 
 
 def pq_encode(
-    emb: DataFrame, m: int = 4, codebook_k: int = 16, id_col: str = "vec_id"
+    emb: DataFrame,
+    m: int = 4,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    sub_len: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization: split each vector into ``m`` sub-vectors
     and code each against a per-subspace codebook of ``codebook_k``
@@ -314,11 +344,14 @@ def pq_encode(
     broadcast codebooks, argmin per (vector, subspace) with
     lowest-centroid tie-break.
     """
+    if sub_len is None:
+        sub_len = _global_sub_len(emb, m)
     books = _subvectors(
-        emb.filter(F.col(id_col) < codebook_k), m, id_col, "centroid_id"
+        emb.filter(F.col(id_col) < codebook_k), m, id_col, "centroid_id",
+        sub_len,
     ).withColumnRenamed("sub", "cvec")
     scored = (
-        _subvectors(spread_for_compute(emb), m, id_col, "vec_id")
+        _subvectors(spread_for_compute(emb), m, id_col, "vec_id", sub_len)
         .join(F.broadcast(books), "subspace")
         .select(
             "vec_id",
@@ -362,13 +395,15 @@ def cosine_topk_pq(
     (:func:`cosine_topk_ivf`) — the standard IVFPQ split; recall < 1
     by design (measured vs :func:`cosine_topk` in tests).
     """
-    books, codes = pq_encode(emb, m, codebook_k)
+    sub_len = _global_sub_len(emb, m)
+    books, codes = pq_encode(emb, m, codebook_k, sub_len=sub_len)
     queries = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
     lut = (
         _subvectors(
-            emb.filter(F.col("vec_id") < num_queries), m, "vec_id", "query_id"
+            emb.filter(F.col("vec_id") < num_queries), m, "vec_id",
+            "query_id", sub_len,
         )
         .join(F.broadcast(books), "subspace")
         .select(
@@ -378,11 +413,28 @@ def cosine_topk_pq(
             l2sq(F.col("sub"), F.col("cvec")).alias("d"),
         )
     )
+    # Order-fixed ADC sum: there is exactly ONE d per (query, vector,
+    # subspace), so pivoting into per-subspace sums (each over a single
+    # value) and adding them left-to-right makes the double addition
+    # order subspace 0..m-1 in BOTH engines — a plain SUM(d) would sum
+    # in partition order here vs DuckDB's own order, and a ULP
+    # difference at a .5e-6 boundary could flip ROUND(.,6) and shift
+    # the shortlist cut.
+    per_sub = [
+        F.sum(F.when(F.col("subspace") == i, F.col("d"))).alias(f"_d{i}")
+        for i in range(m)
+    ]
+    seq_sum = F.col("_d0")
+    for i in range(1, m):
+        seq_sum = seq_sum + F.col(f"_d{i}")
     adc = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adist"))
+        .agg(*per_sub)
+        .select(
+            "query_id", "vec_id", F.round(seq_sum, 6).alias("adist")
+        )
     )
     from pyspark.sql.window import Window
 

@@ -242,21 +242,38 @@ ORDER BY query_id, rnk
 
 
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tables(spark, sf_dir)
-    return S.cosine_topk_lsh(t["embeddings"], k=5, num_queries=10, sign_bits=4).orderBy(
-        "query_id", "rnk"
-    )
+    # probe_radius=2: the multi-probe recall lever — radius 1 measured
+    # recall@5 0.66 vs exact at sf0.1; radius 2 measures 0.86-0.90
+    # (gated >=0.8 in tests/test_llm_queries.py).
+    return S.cosine_topk_lsh(
+        _tables(spark, sf_dir)["embeddings"],
+        k=5, num_queries=10, sign_bits=4, probe_radius=2,
+    ).orderBy("query_id", "rnk")
 
 
 _SIGN4_DUCK = "".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)||" for i in range(4)
 )[:-2]
 
+
+def _duck_flip(*pos: int) -> str:
+    """Flip the given 1-based positions of the 4-char bucket ``qb``."""
+    parts, prev = [], 0
+    for p in pos:
+        if p - 1 > prev:
+            parts.append(f"substr(qb,{prev + 1},{p - 1 - prev})")
+        parts.append(f"(CASE WHEN substr(qb,{p},1)='1' THEN '0' ELSE '1' END)")
+        prev = p
+    parts.append(f"substr(qb,{prev + 1})")
+    return " || ".join(parts)
+
+
 _FLIPS_DUCK = "\n  UNION ALL ".join(
-    "SELECT query_id, qe, substr(qb,1,{im1}) || "
-    "(CASE WHEN substr(qb,{i},1)='1' THEN '0' ELSE '1' END) || "
-    "substr(qb,{ip1}) AS probe FROM q0".format(im1=i - 1, i=i, ip1=i + 1)
-    for i in range(1, 5)
+    f"SELECT query_id, qe, {_duck_flip(*pos)} AS probe FROM q0"
+    for pos in (
+        [(i,) for i in range(1, 5)]
+        + [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    )
 )
 
 SQL_ANN_TOPK_LSH = f"""
@@ -763,11 +780,16 @@ FROM pg GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# llm24 parameters, shared verbatim by the Spark plan and the
+# generated oracle SQL below. m=8 sub-spaces + a 200-deep shortlist
+# measured recall@5 0.86-0.98 vs exact (m=4/25 was 0.36-0.48); the
+# recall gate in tests/test_llm_queries.py pins >=0.8.
+_PQ = {"k": 5, "num_queries": 10, "m": 8, "codebook_k": 16, "shortlist": 200}
+
+
 def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
-    return S.cosine_topk_pq(
-        t["embeddings"], k=5, num_queries=10, m=4, codebook_k=16, shortlist=25
-    ).orderBy("query_id", "rnk")
+    return S.cosine_topk_pq(t["embeddings"], **_PQ).orderBy("query_id", "rnk")
 
 
 # l2sq via the three-dot identity — the SAME arithmetic the Spark side
@@ -778,16 +800,27 @@ _DUCK_L2SQ = (
     " + list_dot_product({b}, {b}))"
 )
 
+# Order-fixed ADC pivot pieces (one d per subspace per (query,
+# vector); the left-to-right chain adds doubles in subspace order in
+# BOTH engines, so an engine-chosen SUM order can't flip ROUND(.,6)):
+_PQ_PIVOT = ",\n                     ".join(
+    f"SUM(CASE WHEN l.subspace = {i} THEN l.d END) AS d{i}"
+    for i in range(_PQ["m"])
+)
+_PQ_CHAIN = "d0"
+for _i in range(1, _PQ["m"]):
+    _PQ_CHAIN = f"({_PQ_CHAIN} + d{_i})"
+
 SQL_ANN_TOPK_PQ = f"""
-WITH p AS (SELECT CAST(floor(MIN(len(embedding)) / 4) AS INT) AS s
+WITH p AS (SELECT CAST(floor(MIN(len(embedding)) / {_PQ["m"]}) AS INT) AS s
            FROM embeddings),
-sp AS (SELECT UNNEST(generate_series(0, 3)) AS subspace),
+sp AS (SELECT UNNEST(generate_series(0, {_PQ["m"] - 1})) AS subspace),
 vs AS (SELECT e.vec_id, sp.subspace,
               CAST(e.embedding[sp.subspace*p.s+1 : sp.subspace*p.s+p.s]
                    AS DOUBLE[]) AS sub
        FROM embeddings e, sp, p),
 books AS (SELECT vec_id AS centroid_id, subspace, sub AS cvec
-          FROM vs WHERE vec_id < 16),
+          FROM vs WHERE vec_id < {_PQ["codebook_k"]}),
 enc AS (SELECT vec_id, subspace, centroid_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
                                   ORDER BY d ASC, centroid_id) AS rn
@@ -799,17 +832,21 @@ codes AS (SELECT vec_id, subspace, centroid_id AS code
 lut AS (SELECT v.vec_id AS query_id, v.subspace,
                b.centroid_id AS code,
                {_DUCK_L2SQ.format(a='v.sub', b='b.cvec')} AS d
-        FROM vs v JOIN books b USING (subspace) WHERE v.vec_id < 10),
-adc AS (SELECT l.query_id, c.vec_id, ROUND(SUM(l.d), 6) AS adist
-        FROM codes c
-        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
-        WHERE l.query_id <> c.vec_id
-        GROUP BY l.query_id, c.vec_id),
+        FROM vs v JOIN books b USING (subspace)
+        WHERE v.vec_id < {_PQ["num_queries"]}),
+adc AS (SELECT query_id, vec_id,
+               ROUND({_PQ_CHAIN}, 6) AS adist
+        FROM (SELECT l.query_id, c.vec_id,
+                     {_PQ_PIVOT}
+              FROM codes c
+              JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+              WHERE l.query_id <> c.vec_id
+              GROUP BY l.query_id, c.vec_id)),
 short AS (SELECT query_id, vec_id AS neighbor_id FROM (
             SELECT query_id, vec_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY adist ASC, vec_id) AS rn
-            FROM adc) WHERE rn <= 25),
+            FROM adc) WHERE rn <= {_PQ["shortlist"]}),
 rer AS (SELECT s.query_id, s.neighbor_id,
                {_DUCK_COS.format(a='q.embedding', b='e.embedding')} AS cos
         FROM short s

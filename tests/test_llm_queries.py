@@ -434,3 +434,27 @@ def test_mixture_plan_invariants(spark):
 
     with _pytest.raises(ValueError):
         mixture_plan(t["documents"], temperature=1.5)
+
+
+def test_ann_recall_gate_sf01(spark):
+    """The r5 recall gate (VERDICT r4 item 5): every approximate ANN
+    variant must reach recall@5 >= 0.8 against llm06's exact top-k at
+    sf0.1. The hash oracles prove determinism, not retrieval quality —
+    this catches a parameter change that silently guts recall
+    (measured at the current params: lsh 0.90, ivf 0.90, pq 0.86)."""
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in LLM_QUERIES["llm06_ann_cosine_topk"][0](spark, sf).collect()
+    }
+    for name in (
+        "llm07_ann_cosine_topk_lsh",
+        "llm13_ann_cosine_topk_ivf",
+        "llm24_ann_cosine_topk_pq",
+    ):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in LLM_QUERIES[name][0](spark, sf).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"{name} recall@5 {recall} < 0.8 at sf0.1"
