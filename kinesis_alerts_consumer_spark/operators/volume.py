@@ -72,6 +72,25 @@ def log_route_volume(parsed: DataFrame) -> DataFrame:
     )
 
 
+def salted_log_volume(parsed: DataFrame, salt_n: int = 16) -> DataFrame:
+    """:func:`log_volume` executed through the two-phase salted
+    aggregation (:func:`..operators.skew.salted_agg`) for pathological
+    key distributions — e.g. one (env, app) holding ~half of a 100 TB
+    day's records, where even AQE can't split the single hot group.
+
+    count/sum are algebraic, so the salted result is EXACTLY the plain
+    groupBy result (the oracle is the plain GROUP BY — salting must be
+    algebraically invisible)."""
+    from .skew import salted_agg
+
+    return salted_agg(
+        _keys(parsed),
+        keys=["env", "app", "team"],
+        aggs={"cnt": ("count", F.lit(1)), "size": ("sum", "num_bytes")},
+        salt_n=salt_n,
+    )
+
+
 def windowed_log_volume(
     parsed: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

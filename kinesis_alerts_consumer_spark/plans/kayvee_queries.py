@@ -427,6 +427,73 @@ FROM events GROUP BY 1, 2, 3 ORDER BY app, env, rule
 """
 
 
+# -------- vol03: A1 rollup under a pathological hot key (salted agg)
+
+
+def _vol03_lines(events: DataFrame) -> DataFrame:
+    """Same body/shape as :func:`_vol_lines` but with a DELIBERATELY
+    skewed app: every even event_id lands on app ``apphot`` (~50% of
+    all records on one (env, app) key) — the distribution where a
+    plain groupBy bottlenecks on a single reducer and AQE cannot help
+    because one GROUP can't be split."""
+    events = spread_for_compute(events)
+    eid = F.col("event_id")
+    body = F.concat(
+        F.lit('{"team":"team-'), _s(eid % 3),
+        F.lit('","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"s",'
+              '"dimensions":[],"stat_type":"counter","rule":"rule-'),
+        _s(eid % 5),
+        F.lit('"}]}}'),
+    )
+    app = F.when(eid % 2 == 0, F.lit("hot")).otherwise(_s(F.col("user_id") % 4))
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), app, F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+def q_hot_key_log_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup over the hot-key distribution, executed through the
+    TWO-PHASE SALTED aggregation (operators/skew.salted_agg): phase 1
+    partial-aggregates on (env, app, team, salt) — the hot key's rows
+    spread over salt_n reducers — phase 2 merges the partials on the
+    real key. count/sum are algebraic, so salting is invisible in the
+    result: the oracle is the PLAIN GROUP BY. The skew story proven
+    under the hash gate, not just claimed (skew.py docstring)."""
+    from ..operators.volume import salted_log_volume
+    from ..functions.kayvee import parse_lines
+
+    t = _tables(spark, sf_dir)
+    parsed = parse_lines(_vol03_lines(t["events"]), "value", "production")
+    return salted_log_volume(parsed, salt_n=16).orderBy("env", "app", "team")
+
+
+_VOL03_LINE_DUCK = """
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' host' || (event_id % 7)
+    || ' prod--app'
+    || (CASE WHEN event_id % 2 = 0 THEN 'hot'
+             ELSE CAST(user_id % 4 AS VARCHAR) END)
+    || '/arn[1]: '
+    || '{"team":"team-' || (event_id % 3)
+    || '","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"s","dimensions":[],"stat_type":"counter","rule":"rule-'
+    || (event_id % 5) || '"}]}}'
+"""
+
+SQL_HOT_KEY_LOG_VOLUME = f"""
+WITH x AS (
+  SELECT 'prod' AS env,
+         'app' || (CASE WHEN event_id % 2 = 0 THEN 'hot'
+                        ELSE CAST(user_id % 4 AS VARCHAR) END) AS app,
+         'team-' || (event_id % 3) AS team,
+         octet_length(CAST(({_VOL03_LINE_DUCK}) AS BLOB)) AS nb
+  FROM events)
+SELECT env, app, team, COUNT(*) AS cnt, CAST(SUM(nb) AS BIGINT) AS size
+FROM x GROUP BY env, app, team ORDER BY env, app, team
+"""
+
+
 
 
 # ------------- kv06: multi-route fan-out + mixed-region dispatch
@@ -595,6 +662,7 @@ KAYVEE_QUERIES: dict[str, tuple] = {
     "kv04_disposition": (q_kayvee_disposition, SQL_KAYVEE_DISPOSITION),
     "vol01_log_volume": (q_log_volume, SQL_LOG_VOLUME),
     "vol02_log_route_volume": (q_log_route_volume, SQL_LOG_ROUTE_VOLUME),
+    "vol03_hot_key_rollup": (q_hot_key_log_volume, SQL_HOT_KEY_LOG_VOLUME),
     "kv05_config_rules": (q_kayvee_config_rules, SQL_KAYVEE_CONFIG_RULES),
     "kv06_multiroute_regions": (
         q_kayvee_multiroute_regions,

@@ -98,3 +98,25 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, key="o_custkey", how=how)
+
+
+def test_vol03_salted_rollup_plan_splits_hot_key(spark):
+    """vol03's physical plan must actually be the TWO-PHASE split:
+    a partial aggregate keyed on (env, app, team, _salt) — the hot
+    key's rows spread over salt_n reducers — exchanged on the salted
+    key, then a merge exchange on the real key. Two hash-partitioning
+    exchanges, the first carrying _salt."""
+    from kinesis_alerts_consumer_spark.plans.kayvee_queries import (
+        q_hot_key_log_volume,
+    )
+
+    df = q_hot_key_log_volume(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # orderBy adds a rangepartitioning exchange; hash exchanges are
+    # exactly the two aggregation phases
+    assert len(exchanges) == 2, plan
+    salted = [ln for ln in exchanges if "_salt" in ln]
+    assert len(salted) == 1, exchanges
