@@ -27,7 +27,11 @@ def build_bench_line(timings: dict[str, float], sf: str) -> str:
     each query (mapping documented in BASELINE.md). The contract test
     calls THIS function so test and emitter cannot drift."""
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
-    assert len(short) == len(timings), "bench short keys must stay unique"
+    # Driver-contract guards: real raises, not asserts — python -O
+    # strips asserts and an over-long/key-colliding line would reach
+    # the driver's 2000-char tail buffer unparsed.
+    if len(short) != len(timings):
+        raise RuntimeError("bench short keys must stay unique")
     line = json.dumps(
         {
             "metric": "declared_query_suite_wall_clock",
@@ -44,7 +48,8 @@ def build_bench_line(timings: dict[str, float], sf: str) -> str:
             "warmup": ["all@sf", "pandas_pool"],
         }
     )
-    assert len(line) < 1900, f"bench JSON line too long ({len(line)})"
+    if len(line) >= 1900:
+        raise RuntimeError(f"bench JSON line too long ({len(line)})")
     return line
 
 

@@ -165,7 +165,40 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# Scratch roots for the replay queries. The PREVIOUS run's dir is
+# removed on the next call (the returned DataFrame reads the sunk
+# parquet lazily, so the current one must outlive the call); whatever
+# remains — at most one dir per query — is removed at interpreter
+# exit so repeated invocations can't accumulate parquet/checkpoints.
 _ST05_DIRS: list[str] = []
+_ST06_DIRS: list[str] = []
+
+
+def _cleanup_scratch_dirs() -> None:
+    import shutil
+
+    for dirs in (_ST05_DIRS, _ST06_DIRS):
+        while dirs:
+            shutil.rmtree(dirs.pop(), ignore_errors=True)
+
+
+import atexit
+
+atexit.register(_cleanup_scratch_dirs)
+
+
+def _new_scratch(dirs: list[str], prefix: str) -> str:
+    """Rotate: drop all but the most recent previous dir, make a new
+    one. Not safe under concurrent same-process invocation (the plans
+    registry is single-threaded per session by construction)."""
+    import shutil
+    import tempfile
+
+    while len(dirs) > 1:
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=prefix)
+    dirs.append(root)
+    return root
 
 
 def q_stream_kayvee_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,9 +218,6 @@ def q_stream_kayvee_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortizes — and the sample exercises every pipeline branch
     (md5-keyed, so it is decorrelated from the %2/%3/%5/%7 moduli that
     drive route/dim/stat_type variety in the synthesized lines)."""
-    import shutil
-    import tempfile
-
     from .kayvee_queries import _kv01_lines, _tables
 
     t = _tables(spark, sf_dir)
@@ -195,12 +225,7 @@ def q_stream_kayvee_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["events"] = t["events"].filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "33"
     )
-    # clean up the previous run's scratch (keep the current one: the
-    # returned DataFrame reads the sunk parquet lazily)
-    while len(_ST05_DIRS) > 1:
-        shutil.rmtree(_ST05_DIRS.pop(0), ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="st05_kayvee_")
-    _ST05_DIRS.append(root)
+    root = _new_scratch(_ST05_DIRS, "st05_kayvee_")
     src = f"{root}/src"
     _kv01_lines(t["events"]).write.mode("overwrite").text(src)
 
@@ -241,9 +266,6 @@ def _st05_oracle() -> str:
     )
 
 
-_ST06_DIRS: list[str] = []
-
-
 def q_stream_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 volume rollup in the reference's PROCESSING-TIME mode under
     the oracle gate: line replay → per-micro-batch (env, app, team)
@@ -253,19 +275,13 @@ def q_stream_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches — which is exactly A1's accumulate/ship/reset invariant,
     so the hash compare proves tick-splitting loses nothing. Same ~20%
     md5 event sample as st05 (mirrored in the oracle)."""
-    import shutil
-    import tempfile
-
     from .kayvee_queries import _tables, _vol_lines
 
     t = dict(_tables(spark, sf_dir))
     t["events"] = t["events"].filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "33"
     )
-    while len(_ST06_DIRS) > 1:
-        shutil.rmtree(_ST06_DIRS.pop(0), ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="st06_volume_")
-    _ST06_DIRS.append(root)
+    root = _new_scratch(_ST06_DIRS, "st06_volume_")
     src = f"{root}/src"
     _vol_lines(t["events"]).write.mode("overwrite").text(src)
 

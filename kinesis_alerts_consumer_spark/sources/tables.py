@@ -42,13 +42,43 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Paths whose converted ts range already passed the sanity window —
+# one min/max agg per (path) per process, then free.
+_TS_SANITY_OK: set[str] = set()
+
+
+def assert_sane_ts(df: DataFrame, src: str, col: str = "ts") -> None:
+    """Fail LOUDLY if the converted event timestamps fall outside a
+    plausible epoch window (1990..2100).
+
+    The bigint-ts path assumes the integers are NANOSECONDS (the
+    nanosAsLong read of TIMESTAMP(NANOS)); a fixture shipping plain
+    INT64 *micro*seconds would also arrive as bigint, and DIV 1000
+    would land every event in 1970 — silently collapsing every window
+    aggregate instead of erroring. One tiny column-pruned min/max agg,
+    memoized per path."""
+    if src in _TS_SANITY_OK:
+        return
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    if lo is not None and (lo.year < 1990 or hi.year > 2100):
+        raise ValueError(
+            f"{src}: converted {col!r} range [{lo} .. {hi}] is outside "
+            "1990..2100 — the bigint column is probably not nanoseconds "
+            "(unit drift in the fixture generator); refusing to "
+            "silently collapse event-time windows"
+        )
+    _TS_SANITY_OK.add(src)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, applying per-table normalization."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos -> µs-truncated timestamp,
         # matching DuckDB's CAST(ts AS TIMESTAMP) of the same file.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        assert_sane_ts(df, path)
     return df
 
 

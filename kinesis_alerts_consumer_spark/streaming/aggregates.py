@@ -35,17 +35,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     column really arrives as bigint.
     """
     # file streams need a directory source; glob-filter to the table
-    batch_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
     df = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        conv = F.expr("timestamp_micros(ts DIV 1000)")
+        # Sanity-gate the unit assumption on the batch twin BEFORE
+        # starting the stream: a µs-shipping fixture would otherwise
+        # collapse every window into 1970 silently (sources.tables
+        # memoizes the check per path, so this is one agg per process).
+        from ..sources.tables import assert_sane_ts
+
+        assert_sane_ts(batch.withColumn("ts", conv), path)
+        df = df.withColumn("ts", conv)
     elif ts_type == "timestamp_ntz":
         # watermarks require TIMESTAMP (with local tz); the session tz
         # is pinned UTC so the cast is value-preserving vs the oracle
