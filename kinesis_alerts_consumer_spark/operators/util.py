@@ -48,7 +48,19 @@ def spread_for_compute(df: DataFrame, min_factor: int = 2) -> DataFrame:
     only fires in exactly the small-input/heavy-compute regime where
     the round-robin shuffle (cost: one pass over the small input) buys
     a parallelism factor equal to the core count.
+
+    The partition-count probe itself (``df.rdd.getNumPartitions``)
+    forces an analysis + RDD-conversion pass per call — negligible
+    locally, but at real scale it triggers file listing for a check
+    that is known to be a no-op there. Deployments set
+    ``spark.graft.spreadForCompute=off`` to skip probe and shuffle
+    entirely (inputs already arrive well-split).
     """
+    try:
+        if df.sparkSession.conf.get("spark.graft.spreadForCompute", "auto") == "off":
+            return df
+    except Exception:  # noqa: BLE001 — conf access never blocks the op
+        pass
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * min_factor <= target:
