@@ -35,14 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # llm entries kept inside the round-5 window: the four ANN variants
 # (llm24's PQ distance-sum was made order-fixed this round; llm06/07/13
-# anchor the new recall gate) plus llm25 (one r4 green row only).
+# anchor the new recall gate), llm25 (one r4 green row only), and the
+# two NEW round-5 operators (llm26 source caps, llm27 semantic dedup)
+# which need their first green row. To hold the window at 48, dq01/02
+# — green in r4 — rotate out.
 _R5_LLM_IN_WINDOW = {
     "llm06_ann_cosine_topk",
     "llm07_ann_cosine_topk_lsh",
     "llm13_ann_cosine_topk_ivf",
     "llm24_ann_cosine_topk_pq",
     "llm25_mixture_plan",
+    "llm26_source_caps",
+    "llm27_semantic_dedup",
 }
+_R5_DQ_OUT_OF_WINDOW = {"dq01_filter_project", "dq02_join_agg"}
 
 
 def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
@@ -53,8 +59,9 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     per the r4 verdict's "re-pin dq03-dq28" directive — every
     oracle-backed query should be green within the trailing TWO rounds:
 
-    1. dq01-dq28: green r1+r2+r3 but OUTSIDE the r4 window (only
+    1. dq03-dq28: green r1+r2+r3 but OUTSIDE the r4 window (only
        dq01/02 fit there); no green row since r3 -> back in-window.
+       dq01/02 (green in r4) rotate OUT to make room for llm26/27.
     2. st01-st06, kv01-kv06, vol01-vol02: code paths touched this
        round (executor-side DD submit, ts sanity gate, scratch-dir
        rotation) -> revalidate.
@@ -84,6 +91,8 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
         )
 
     def in_window(name: str) -> bool:
+        if name in _R5_DQ_OUT_OF_WINDOW:
+            return False
         fam = name.split("_", 1)[0]
         return (
             fam.startswith(("dq", "kv", "vol", "st"))

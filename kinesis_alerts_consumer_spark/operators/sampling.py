@@ -175,3 +175,38 @@ def mixture_plan(
         "expected_tokens",
         F.floor(F.col("rate") * F.col("n_tokens")).cast("bigint"),
     )
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int = 50,
+    source_col: str = "source",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source document cap — the over-representation guard every
+    web-scale corpus applies (keep at most ``cap`` docs per
+    domain/source so one crawl-heavy site can't dominate a mixture).
+    Keeps the ``cap`` best docs per source, "best" = highest
+    ``quality_col`` with doc_id tie-break, so the kept set is total-
+    ordered and oracle-hashable. Returns (doc_id, source, rnk).
+
+    Scale shape: the ``rank <= cap`` predicate over the window is
+    planned as WindowGroupLimit (Spark >= 3.5): each input partition
+    pre-prunes to its local top-``cap`` per source BEFORE the
+    shuffle, so a hot source ships at most cap rows per upstream
+    partition instead of its full row set — asserted in
+    tests/test_plans.py. The shuffle key (source) is low-cardinality
+    but the pre-prune bounds the skew.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(quality_col).desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .select(
+            "doc_id",
+            F.col(source_col).alias("source"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -471,3 +471,85 @@ def cosine_topk_pq(
             "cos",
         )
     )
+
+
+def adaptive_centroids(
+    n: int, target_cluster: int = 64, max_centroids: int = 4096
+) -> int:
+    """Coarse-centroid count for ``n`` vectors targeting a constant
+    expected cluster size: smallest power of two with
+    ``c >= n/target_cluster``, clamped to [8, max_centroids].
+
+    Integer-exact (no float log2) so an SQL oracle reproduces it:
+    ``c = 1 << bit_length(ceil(n/target) - 1)`` — the same device as
+    :func:`..operators.dedup.adaptive_sign_bits`. Constant cluster
+    size is what keeps :func:`semantic_dedup`'s within-cluster pair
+    volume LINEAR in n: c·(n/c)² = n·target at any scale.
+    """
+    x = (max(n, 1) + target_cluster - 1) // target_cluster
+    return max(8, min(max_centroids, 1 << (x - 1).bit_length()))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int | None = None,
+    target_cluster: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public arXiv): assign
+    every vector to its nearest coarse centroid (:func:`ivf_assign`,
+    deterministic centroids so the oracle replays it), then inside
+    each cluster drop every vector whose cosine to a LOWER-ID cluster
+    member is >= ``threshold``. Returns per-cluster totals
+    ``(centroid_id, n_members, n_kept)`` ordered by cluster.
+
+    Scale shape: ``n_centroids=None`` sizes the codebook adaptively
+    (:func:`adaptive_centroids`) so the expected cluster stays
+    ~``target_cluster`` and the within-cluster all-pairs volume is
+    ~n·target — linear, the same constant-occupancy device that fixed
+    the one superlinear query at sf1 (llm05, BASELINE.md). The
+    centroid pass is one broadcast-join argmax; the pair join
+    shuffles on centroid_id only. The extra ``count()`` for the
+    adaptive size is one column-pruned scan, the price of a
+    scale-stable plan.
+    """
+    if n_centroids is None:
+        n_centroids = adaptive_centroids(emb.count(), target_cluster)
+    _cents, assign = ivf_assign(emb, n_centroids, id_col=id_col)
+    members = assign.join(emb.select(id_col, "embedding"), id_col)
+    l, r = members.alias("l"), members.alias("r")
+    dominated = (
+        l.join(
+            r,
+            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(
+            cosine(F.col("l.embedding"), F.col("r.embedding"))
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    per_cluster = members.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members")
+    )
+    drops = (
+        assign.join(dominated, id_col)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("_nd"))
+    )
+    return (
+        per_cluster.join(drops, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_members",
+            (F.col("n_members") - F.coalesce(F.col("_nd"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("centroid_id")
+    )

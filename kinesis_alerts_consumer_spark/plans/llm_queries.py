@@ -895,6 +895,95 @@ FROM w ORDER BY stratum
 """
 
 
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the domain over-representation guard):
+    keep the 50 longest docs per source, doc_id tie-break."""
+    t = _tables(spark, sf_dir)
+    from ..operators.sampling import source_cap
+
+    return source_cap(t["documents"], cap=50).orderBy("source", "rnk")
+
+
+SQL_SOURCE_CAPS = """
+SELECT doc_id, source, rnk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 50
+ORDER BY source, rnk
+"""
+
+
+def _semdedup_base(emb: DataFrame) -> DataFrame:
+    """Planted near-dups for llm27 (the fixture's natural max cosine
+    is ~0.51, llm05's device): vec_id<30 gains an EXACT copy at
+    +1000000 (cos=1, always dropped at any threshold) and a PERTURBED
+    copy at +2000000 (first coordinate +0.5 — expressible exactly in
+    both engines, so whether it crosses the threshold is decided on
+    bit-identical doubles)."""
+    exact = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pert = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionAll(exact).unionAll(pert)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return S.semantic_dedup(
+        _semdedup_base(t["embeddings"]), threshold=0.9, n_centroids=None
+    )
+
+
+_SEMDEDUP_BASE_DUCK = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 30
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_prepend(CAST(embedding[1] + 0.5 AS FLOAT), embedding[2:])
+           AS embedding
+  FROM embeddings WHERE vec_id < 30
+"""
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH base AS ({_SEMDEDUP_BASE_DUCK}),
+kk AS (SELECT LEAST(GREATEST(CAST(1 AS BIGINT) <<
+         length(bin(CAST(ceil(COUNT(*) / 64.0) AS BIGINT) - 1)), 8), 4096)
+         AS c FROM base),
+cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM base
+          WHERE vec_id < (SELECT c FROM kk)),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.ce')} DESC,
+                      c.centroid_id) AS rn
+    FROM base e CROSS JOIN cents c) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.centroid_id, e.embedding
+      FROM assign a JOIN base e USING (vec_id)),
+dom AS (SELECT DISTINCT r.vec_id
+        FROM m l JOIN m r ON l.centroid_id = r.centroid_id
+         AND l.vec_id < r.vec_id
+        WHERE {_DUCK_COS.format(a='l.embedding', b='r.embedding')} >= 0.9),
+per AS (SELECT centroid_id, COUNT(*) AS n_members FROM m
+        GROUP BY centroid_id),
+dr AS (SELECT a.centroid_id, COUNT(*) AS nd
+       FROM assign a JOIN dom USING (vec_id) GROUP BY a.centroid_id)
+SELECT per.centroid_id, per.n_members,
+       CAST(per.n_members - COALESCE(dr.nd, 0) AS BIGINT) AS n_kept
+FROM per LEFT JOIN dr USING (centroid_id)
+ORDER BY per.centroid_id
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -921,4 +1010,6 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm23_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
     "llm24_ann_cosine_topk_pq": (q_ann_cosine_topk_pq, SQL_ANN_TOPK_PQ),
     "llm25_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
+    "llm26_source_caps": (q_source_caps, SQL_SOURCE_CAPS),
+    "llm27_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 77
+    assert len(qs) == 79
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -35,7 +35,7 @@ def test_driver_window_priority():
     # vol03), and the ANN/mixture llm entries all sit inside the
     # 50-key window
     must_pin = (
-        [f"dq{i:02d}" for i in range(1, 29)]
+        [f"dq{i:02d}" for i in range(3, 29)]
         + ["kv", "vol", "st"]
         + sorted(entry._R5_LLM_IN_WINDOW)
     )

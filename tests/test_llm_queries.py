@@ -458,3 +458,55 @@ def test_ann_recall_gate_sf01(spark):
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"{name} recall@5 {recall} < 0.8 at sf0.1"
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """llm27 semantics on the planted base: every EXACT copy
+    (+1000000, cos=1) is dropped at threshold 0.9; totals add up; the
+    original corpus (no copies) drops nothing (the fixture's natural
+    max cosine is ~0.51)."""
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from kinesis_alerts_consumer_spark.plans.llm_queries import (
+        _semdedup_base,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+    base = _semdedup_base(emb)
+    rows = semantic_dedup(base, threshold=0.9).collect()
+    n_total = base.count()
+    assert sum(r.n_members for r in rows) == n_total
+    dropped = sum(r.n_members - r.n_kept for r in rows)
+    # all 30 exact copies must go; perturbed copies are data-dependent
+    assert dropped >= 30
+    assert all(r.n_kept >= 1 for r in rows)
+
+    pristine = semantic_dedup(
+        emb.select("vec_id", "embedding"), threshold=0.9
+    ).collect()
+    assert all(r.n_members == r.n_kept for r in pristine)
+
+
+def test_source_cap_keeps_best_per_source(spark):
+    from kinesis_alerts_consumer_spark.operators.sampling import source_cap
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    docs = register_tables(spark, SF_SMOKE)["documents"]
+    out = source_cap(docs, cap=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in per.values())
+    # kept docs per source are exactly the 5 longest (doc_id tie-break)
+    import itertools
+
+    want = {}
+    for r in docs.select("doc_id", "source", "n_chars").collect():
+        want.setdefault(r.source, []).append((-r.n_chars, r.doc_id))
+    for src, lst in want.items():
+        top = {d for _, d in sorted(lst)[:5]}
+        got = {r.doc_id for r in out if r.source == src}
+        assert got == top, src

@@ -94,3 +94,17 @@ def test_pack_sequences_window_partitions_by_shard(spark):
     ]
     assert win_exchanges, f"no window exchange found:\n{plan}"
     assert all("shard" in l for l in win_exchanges), win_exchanges
+
+
+def test_source_cap_plan_preprunes_before_shuffle(spark):
+    """source_cap's rank<=cap filter must plan as WindowGroupLimit
+    Partial (per input partition, BEFORE the exchange) + Final: a hot
+    source ships at most cap rows per upstream partition instead of
+    its full row set."""
+    from kinesis_alerts_consumer_spark.operators.sampling import source_cap
+
+    t = register_tables(spark, SF_SMOKE)
+    plan = source_cap(t["documents"], cap=50)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
