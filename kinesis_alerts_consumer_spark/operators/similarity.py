@@ -473,83 +473,86 @@ def cosine_topk_pq(
     )
 
 
-def adaptive_centroids(
-    n: int, target_cluster: int = 64, max_centroids: int = 4096
-) -> int:
-    """Coarse-centroid count for ``n`` vectors targeting a constant
-    expected cluster size: smallest power of two with
-    ``c >= n/target_cluster``, clamped to [8, max_centroids].
-
-    Integer-exact (no float log2) so an SQL oracle reproduces it:
-    ``c = 1 << bit_length(ceil(n/target) - 1)`` — the same device as
-    :func:`..operators.dedup.adaptive_sign_bits`. Constant cluster
-    size is what keeps :func:`semantic_dedup`'s within-cluster pair
-    volume LINEAR in n: c·(n/c)² = n·target at any scale.
-    """
-    x = (max(n, 1) + target_cluster - 1) // target_cluster
-    return max(8, min(max_centroids, 1 << (x - 1).bit_length()))
-
-
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_centroids: int | None = None,
-    target_cluster: int = 64,
+    sign_bits: int | None = None,
+    target_cluster: int = 32,
+    max_bucket: int | None = 1024,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
-    web-scale through semantic deduplication" — public arXiv): assign
-    every vector to its nearest coarse centroid (:func:`ivf_assign`,
-    deterministic centroids so the oracle replays it), then inside
-    each cluster drop every vector whose cosine to a LOWER-ID cluster
+    web-scale through semantic deduplication" — public arXiv):
+    partition the corpus into semantic clusters, then inside each
+    cluster drop every vector whose cosine to a LOWER-ID cluster
     member is >= ``threshold``. Returns per-cluster totals
-    ``(centroid_id, n_members, n_kept)`` ordered by cluster.
+    ``(cluster, n_members, n_kept)`` ordered by cluster id.
 
-    Scale shape: ``n_centroids=None`` sizes the codebook adaptively
-    (:func:`adaptive_centroids`) so the expected cluster stays
-    ~``target_cluster`` and the within-cluster all-pairs volume is
-    ~n·target — linear, the same constant-occupancy device that fixed
-    the one superlinear query at sf1 (llm05, BASELINE.md). The
-    centroid pass is one broadcast-join argmax; the pair join
-    shuffles on centroid_id only. The extra ``count()`` for the
-    adaptive size is one column-pruned scan, the price of a
-    scale-stable plan.
+    The cluster is the deterministic sign-LSH bucket of the leading
+    ``sign_bits`` coordinates (the same axis-aligned-hyperplane
+    partition as :func:`..operators.dedup.embedding_near_dup_pairs`,
+    its adaptive sizing included) — the scalable stand-in for k-means
+    cluster ids. Per-vector assignment is a STRING EXPRESSION, not a
+    per-centroid cosine scan: an IVF-style argmax over an adaptively
+    sized codebook costs n·c = n²/target cosines — measured 41x for
+    10x rows at sf0.1→sf1 before this design; the bucket form
+    measures ~3x. Within-bucket pair volume stays ~n·sign_bits
+    (constant occupancy via adaptive bits); over-cap buckets are
+    excluded by broadcast anti-join (degenerate-embedding guard).
     """
-    if n_centroids is None:
-        n_centroids = adaptive_centroids(emb.count(), target_cluster)
-    _cents, assign = ivf_assign(emb, n_centroids, id_col=id_col)
-    members = assign.join(emb.select(id_col, "embedding"), id_col)
+    from .dedup import adaptive_sign_bits
+
+    if sign_bits is None:
+        sign_bits = adaptive_sign_bits(emb.count(), target_cluster)
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(sign_bits)
+        ],
+    )
+    members = spread_for_compute(emb).select(
+        id_col, "embedding", sig.alias("cluster")
+    )
+    if max_bucket is not None:
+        bad = (
+            members.groupBy("cluster")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_bucket)
+            .select("cluster")
+        )
+        members = members.join(F.broadcast(bad), "cluster", "left_anti")
     l, r = members.alias("l"), members.alias("r")
     dominated = (
         l.join(
             r,
-            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            (F.col("l.cluster") == F.col("r.cluster"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .filter(
             cosine(F.col("l.embedding"), F.col("r.embedding"))
             >= F.lit(threshold)
         )
-        .select(F.col(f"r.{id_col}").alias(id_col))
+        .select(
+            F.col("r.cluster").alias("cluster"),
+            F.col(f"r.{id_col}").alias(id_col),
+        )
         .distinct()
     )
-    per_cluster = members.groupBy("centroid_id").agg(
+    per_cluster = members.groupBy("cluster").agg(
         F.count("*").alias("n_members")
     )
-    drops = (
-        assign.join(dominated, id_col)
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("_nd"))
-    )
+    drops = dominated.groupBy("cluster").agg(F.count("*").alias("_nd"))
     return (
-        per_cluster.join(drops, "centroid_id", "left")
+        per_cluster.join(drops, "cluster", "left")
         .select(
-            "centroid_id",
+            "cluster",
             "n_members",
             (F.col("n_members") - F.coalesce(F.col("_nd"), F.lit(0)))
             .cast("bigint")
             .alias("n_kept"),
         )
-        .orderBy("centroid_id")
+        .orderBy("cluster")
     )

@@ -937,7 +937,7 @@ def _semdedup_base(emb: DataFrame) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     return S.semantic_dedup(
-        _semdedup_base(t["embeddings"]), threshold=0.9, n_centroids=None
+        _semdedup_base(t["embeddings"]), threshold=0.9, sign_bits=None
     )
 
 
@@ -952,35 +952,29 @@ _SEMDEDUP_BASE_DUCK = """
   FROM embeddings WHERE vec_id < 30
 """
 
+# cluster = sign-LSH bucket of the leading k coordinates; adaptive k
+# (constant expected occupancy, dedup.adaptive_sign_bits formula) is
+# the same scalar-subquery device as llm05's oracle.
 SQL_SEMANTIC_DEDUP = f"""
 WITH base AS ({_SEMDEDUP_BASE_DUCK}),
-kk AS (SELECT LEAST(GREATEST(CAST(1 AS BIGINT) <<
-         length(bin(CAST(ceil(COUNT(*) / 64.0) AS BIGINT) - 1)), 8), 4096)
-         AS c FROM base),
-cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM base
-          WHERE vec_id < (SELECT c FROM kk)),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.ce')} DESC,
-                      c.centroid_id) AS rn
-    FROM base e CROSS JOIN cents c) WHERE rn = 1),
-m AS (SELECT a.vec_id, a.centroid_id, e.embedding
-      FROM assign a JOIN base e USING (vec_id)),
-dom AS (SELECT DISTINCT r.vec_id
-        FROM m l JOIN m r ON l.centroid_id = r.centroid_id
+kk AS (SELECT LEAST(GREATEST(
+         length(bin(CAST(ceil(COUNT(*) / 32.0) AS BIGINT) - 1)), 1), 16)
+         AS k FROM base),
+b AS (SELECT vec_id, embedding,
+             substr({_SIGN_BUCKET_DUCK}, 1, (SELECT k FROM kk)) AS cluster
+      FROM base),
+keep AS (SELECT cluster FROM b GROUP BY cluster HAVING COUNT(*) <= 1024),
+m AS (SELECT b.vec_id, b.embedding, b.cluster FROM b JOIN keep USING (cluster)),
+dom AS (SELECT DISTINCT r.cluster, r.vec_id
+        FROM m l JOIN m r ON l.cluster = r.cluster
          AND l.vec_id < r.vec_id
         WHERE {_DUCK_COS.format(a='l.embedding', b='r.embedding')} >= 0.9),
-per AS (SELECT centroid_id, COUNT(*) AS n_members FROM m
-        GROUP BY centroid_id),
-dr AS (SELECT a.centroid_id, COUNT(*) AS nd
-       FROM assign a JOIN dom USING (vec_id) GROUP BY a.centroid_id)
-SELECT per.centroid_id, per.n_members,
+per AS (SELECT cluster, COUNT(*) AS n_members FROM m GROUP BY cluster),
+dr AS (SELECT cluster, COUNT(*) AS nd FROM dom GROUP BY cluster)
+SELECT per.cluster, per.n_members,
        CAST(per.n_members - COALESCE(dr.nd, 0) AS BIGINT) AS n_kept
-FROM per LEFT JOIN dr USING (centroid_id)
-ORDER BY per.centroid_id
+FROM per LEFT JOIN dr USING (cluster)
+ORDER BY per.cluster
 """
 
 
