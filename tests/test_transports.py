@@ -325,3 +325,34 @@ def test_cw_empty_frame_no_call(spark):
         urlopen=lambda req, timeout: calls.append(req) or FakeResponse(200),
     ).submit(cw_frame(spark).limit(0))
     assert calls == []
+
+
+def test_retry_policy_backoff_sequence(monkeypatch):
+    """Pin the reference retrier schedule (alerts_consumer.go:257;
+    metrics.go:42): 5 attempts, sleeps 50 -> 100 -> 200 -> 400 ms
+    between them, no sleep after the final failure."""
+    sleeps = []
+    monkeypatch.setattr("time.sleep", lambda s: sleeps.append(s))
+    calls = []
+
+    def fail():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    err = RetryPolicy().run(fail)
+    assert isinstance(err, RuntimeError)
+    assert len(calls) == 5
+    assert sleeps == [0.05, 0.1, 0.2, 0.4]
+
+
+def test_dd_post_series_backoff_sequence(monkeypatch):
+    """The executor-side transport applies the same schedule per POST."""
+    sleeps = []
+    monkeypatch.setattr("time.sleep", lambda s: sleeps.append(s))
+
+    with pytest.raises(TransportError):
+        DatadogTransport(
+            "k", urlopen=lambda req, timeout: FakeResponse(500)
+        ).post_series([{"metric": "m", "type": "count",
+                        "points": [[1, 1.0]], "tags": []}])
+    assert sleeps == [0.05, 0.1, 0.2, 0.4]
