@@ -33,15 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_declared(spark, "/root/testdata/sf0.001", "dq02_join_agg")
 
 
-# llm entries kept inside the round-5 window: the four ANN variants
-# (llm24's PQ distance-sum was made order-fixed this round; llm06/07/13
-# anchor the new recall gate), llm25 (one r4 green row only), and the
-# two NEW round-5 operators (llm26 source caps, llm27 semantic dedup)
-# which need their first green row. To hold the window at 48, dq01/02
-# — green in r4 — rotate out.
+# llm entries kept inside the round-5 window: llm24 (PQ distance-sum
+# made order-fixed this round), llm13/llm25 (one r4 green row only),
+# and the NEW round-5 operators (llm26 source caps, llm27 semantic
+# dedup) which need their first green row. To hold the window at 48
+# while dq29 (recursive CTE) and st07 (stream-stream join) enter with
+# their first green rows, dq01/02 and llm06/07 — all green in r4, the
+# ANN pair also pinned by the pytest recall gate — rotate out.
 _R5_LLM_IN_WINDOW = {
-    "llm06_ann_cosine_topk",
-    "llm07_ann_cosine_topk_lsh",
     "llm13_ann_cosine_topk_ivf",
     "llm24_ann_cosine_topk_pq",
     "llm25_mixture_plan",

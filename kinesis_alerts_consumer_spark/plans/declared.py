@@ -234,6 +234,28 @@ FROM customer c, LATERAL (SELECT ROUND(SUM(o_totalprice), 2) AS total
                           FROM orders WHERE o_custkey = c.c_custkey) t
 WHERE t.total IS NOT NULL ORDER BY c.c_custkey LIMIT 100
 """,
+    # Recursive CTE (Spark 4.x WITH RECURSIVE) driving a time-series
+    # gap-fill: enumerate every day in the events span, LEFT JOIN a
+    # sparse per-day aggregate so missing days surface as 0 rows.
+    # Recursion steps by DAY (30 iterations over the fixture span) to
+    # stay far under Spark's default 100-level recursion limit; the
+    # max date rides along in the anchor because the recursive term
+    # cannot re-evaluate a subquery each step.
+    "dq29_recursive_gapfill": """
+WITH RECURSIVE days (d, dmax) AS (
+  SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM events
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE), dmax FROM days WHERE d < dmax
+)
+SELECT d, COALESCE(c.cnt, 0) AS cnt, COALESCE(c.sv, 0.0) AS sv
+FROM days LEFT JOIN (
+  SELECT CAST(ts AS DATE) AS ed, COUNT(*) AS cnt,
+         ROUND(SUM(value), 2) AS sv
+  FROM events WHERE event_type = 'purchase' AND value > 99.9
+  GROUP BY CAST(ts AS DATE)
+) c ON days.d = c.ed
+ORDER BY d
+""",
 }
 
 # DuckDB-dialect twins for queries that are NOT verbatim-portable.

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..session import configure
 from ..streaming.aggregates import (
     hourly_type_rollup,
+    purchase_click_join,
     stream_events,
     user_sessions,
 )
@@ -162,6 +163,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DEDUP = """
 SELECT event_type, COUNT(*) AS n FROM events
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase<-click
+    attribution) replayed bounded; the sunk pairs re-aggregated per
+    user must equal the batch interval join — the streaming/batch
+    equivalence theorem for the join-state machinery (buffer, evict,
+    co-partition) rather than the aggregation state st01/st02 cover."""
+    configure(spark)
+    name = "st_" + uuid.uuid4().hex[:12]
+    q = (
+        purchase_click_join(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.round(F.sum("c_value"), 2).alias("click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases,
+       ROUND(SUM(c.value), 2) AS click_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id ORDER BY p.user_id
 """
 
 
@@ -320,4 +362,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "st04_stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "st05_stream_kayvee_pipeline": (q_stream_kayvee_pipeline, _st05_oracle()),
     "st06_stream_volume_rollup": (q_stream_volume_rollup, _st06_oracle()),
+    "st07_stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
 }

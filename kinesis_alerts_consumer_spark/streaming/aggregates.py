@@ -70,6 +70,49 @@ def hourly_type_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def purchase_click_join(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INTERVAL join: every ``purchase`` event paired
+    with the same user's ``click`` events from the preceding 30
+    minutes (classic attribution join).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can evict buffered state once a
+    side's watermark passes ``ts + 30 minutes`` — state is
+    O(watermark-window x arrival rate), NOT O(stream length), which
+    is what makes this shape survive an unbounded 100 TB stream. The
+    join key (user_id) is the shuffle key; both sides co-partition on
+    it, and inner-join results are append-mode deterministic, so the
+    bounded replay must equal the batch interval join (the st07
+    oracle).
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+
+
 def user_sessions(events: DataFrame, gap: str = "30 minutes",
                   watermark: str = "2 hours") -> DataFrame:
     """DQ9 as a streaming session-window aggregate: one row per
