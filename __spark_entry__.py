@@ -34,20 +34,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # llm entries kept inside the round-5 window: llm24 (PQ distance-sum
-# made order-fixed this round), llm13/llm25 (one r4 green row only),
-# and the NEW round-5 operators (llm26 source caps, llm27 semantic
-# dedup) which need their first green row. To hold the window at 48
-# while dq29 (recursive CTE) and st07 (stream-stream join) enter with
-# their first green rows, dq01/02 and llm06/07 — all green in r4, the
-# ANN pair also pinned by the pytest recall gate — rotate out.
+# made order-fixed this round) and the SIX new round-5 operators
+# (llm26 source caps, llm27 semantic dedup, llm28 passage dedup,
+# llm29 kNN classify, llm30 label centroids, llm31 curation
+# pipeline) which need their first green row. To hold the window at
+# 48 while dq29 (recursive CTE) and st07 (stream-stream join) also
+# enter, these r4-green entries rotate out: dq01/02, llm06/07 (also
+# pinned by the pytest recall gate), llm13/llm25, and kv02/kv03
+# (rule paths untouched this round).
 _R5_LLM_IN_WINDOW = {
-    "llm13_ann_cosine_topk_ivf",
     "llm24_ann_cosine_topk_pq",
-    "llm25_mixture_plan",
     "llm26_source_caps",
     "llm27_semantic_dedup",
+    "llm28_passage_dedup",
+    "llm29_knn_classify",
+    "llm30_label_centroids",
+    "llm31_curation_pipeline",
 }
-_R5_DQ_OUT_OF_WINDOW = {"dq01_filter_project", "dq02_join_agg"}
+_R5_OUT_OF_WINDOW = {
+    "dq01_filter_project",
+    "dq02_join_agg",
+    "kv02_mongo_rule",
+    "kv03_process_metrics",
+}
 
 
 def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
@@ -58,21 +67,25 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     per the r4 verdict's "re-pin dq03-dq28" directive — every
     oracle-backed query should be green within the trailing TWO rounds:
 
-    1. dq03-dq28: green r1+r2+r3 but OUTSIDE the r4 window (only
-       dq01/02 fit there); no green row since r3 -> back in-window.
-       dq01/02 (green in r4) rotate OUT to make room for llm26/27.
-    2. st01-st06, kv01-kv06, vol01-vol02: code paths touched this
+    1. dq03-dq28: green r1+r2+r3 but OUTSIDE the r4 window; no green
+       row since r3 -> back in-window. dq29 (NEW recursive CTE)
+       enters with its first green row.
+    2. st01-st06 + kv01/kv04-06 + vol01-02: code paths touched this
        round (executor-side DD submit, ts sanity gate, scratch-dir
-       rotation) -> revalidate.
-    3. vol03 (NEW): the salted hot-key rollup — first green row.
-    4. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the recall-
-       gate anchors. 28+6+6+3+5 = 48 oracle-backed keys exactly.
+       rotation) -> revalidate. st07 (NEW stream-stream join) and
+       vol03 (NEW salted hot-key rollup) need first green rows.
+    3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
+       round-5 operators llm26-llm31.
+       27+5+7+3+7 - 1(kv01 counted once) = 48 oracle-backed keys:
+       27 dq + 4 kv + 7 st + 3 vol + 7 llm.
+    4. Rotated OUT (all green in r4): dq01/02, kv02/kv03 (rule paths
+       untouched), llm06/07 (pytest recall gate), llm13/llm25.
     5. ext06 then ext05 at positions 49-50: no-oracle rows-only
        entries sit last inside the window so nothing oracle-backed is
        lost if the driver halts at the first no-oracle entry.
-    6. outside (green in r4): llm01-05/08-12/14-23, mm01-03,
-       ext01-04. tests/test_entry_contract.py pins the layout and
-       fails loudly if the window composition drifts past 48.
+    6. outside (green in r4): the rest. tests/test_entry_contract.py
+       pins the layout and fails loudly if the window composition
+       drifts past 48.
     """
     oracle_backed: dict[str, tuple[Callable, str]] = {}
     no_oracle: list[tuple[str, Callable, None]] = []
@@ -90,7 +103,7 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
         )
 
     def in_window(name: str) -> bool:
-        if name in _R5_DQ_OUT_OF_WINDOW:
+        if name in _R5_OUT_OF_WINDOW:
             return False
         fam = name.split("_", 1)[0]
         return (

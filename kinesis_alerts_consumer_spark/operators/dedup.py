@@ -26,7 +26,7 @@ no RNG anywhere, so oracle comparisons are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import spread_for_compute
@@ -280,6 +280,85 @@ def incremental_new_docs(
     """
     old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
     return exact_dedup(docs_new).join(old_fp, "fp", "left_anti")
+
+
+def passage_dedup(docs: DataFrame, block: int = 8) -> DataFrame:
+    """Sub-document (passage-level) exact dedup — the Dolma/Lee-et-al
+    "deduplicate repeated passages, keep the first occurrence" pass,
+    at non-overlapping ``block``-token granularity.
+
+    Each doc splits into consecutive ``block``-token blocks; a block
+    INSTANCE survives iff it is the corpus-wide canonical occurrence
+    of its text — the smallest (doc_id, block_idx) over all instances
+    of the same block md5 (ROW_NUMBER over the block-hash key). Per
+    doc: total/duplicated block counts, surviving token count, and
+    the md5 of the scrubbed text (surviving blocks re-joined in
+    order) so downstream exact dedup can run on cleaned content.
+
+    Scale shape: explode is scan-parallel; the only shuffles are the
+    block-md5 window (narrow 32-byte key, uniformly distributed —
+    cardinality ~ distinct passages) and the per-doc re-aggregate on
+    doc_id. The rebuilt text uses sort_array(collect_list(struct)) so
+    the concat order is deterministic under any task order. Nothing
+    touches full documents after the split, so shuffle rows stay
+    bounded by ``block`` tokens each.
+    """
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nblocks = F.ceil(F.size("ws") / F.lit(block)).cast("int")
+    btext = F.concat_ws(
+        " ", F.slice(F.col("ws"), F.col("block_idx") * block + 1, block)
+    )
+    blocks = (
+        spread_for_compute(docs)
+        .select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("block_idx"),
+        )
+        .select("doc_id", "block_idx", btext.alias("btext"))
+        .select(
+            "doc_id",
+            "block_idx",
+            "btext",
+            F.md5(F.col("btext")).alias("bfp"),
+            F.size(F.split(F.col("btext"), r"\s+")).alias("n_tok"),
+        )
+    )
+    ranked = blocks.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bfp").orderBy("doc_id", "block_idx")
+        ),
+    )
+    kept = F.col("rn") == 1
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dup_blocks"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    kept,
+                                    F.struct("block_idx", "btext"),
+                                )
+                            )
+                        ),
+                        lambda s: s["btext"],
+                    ),
+                )
+            ).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

@@ -182,13 +182,18 @@ def source_cap(
     cap: int = 50,
     source_col: str = "source",
     quality_col: str = "n_chars",
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Per-source document cap — the over-representation guard every
     web-scale corpus applies (keep at most ``cap`` docs per
     domain/source so one crawl-heavy site can't dominate a mixture).
     Keeps the ``cap`` best docs per source, "best" = highest
     ``quality_col`` with doc_id tie-break, so the kept set is total-
-    ordered and oracle-hashable. Returns (doc_id, source, rnk).
+    ordered and oracle-hashable. Returns (doc_id, source, rnk), or
+    every input column plus ``rnk`` with ``keep_columns=True`` (the
+    curation-pipeline composition wants the surviving rows, not a
+    key list to join back — joining back would re-shuffle the rows a
+    second time for nothing).
 
     Scale shape: the ``rank <= cap`` predicate over the window is
     planned as WindowGroupLimit (Spark >= 3.5): each input partition
@@ -201,9 +206,13 @@ def source_cap(
     w = Window.partitionBy(source_col).orderBy(
         F.col(quality_col).desc(), F.col("doc_id")
     )
+    ranked = docs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= cap
+    )
+    if keep_columns:
+        return ranked
     return (
-        docs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= cap)
+        ranked
         .select(
             "doc_id",
             F.col(source_col).alias("source"),

@@ -92,6 +92,106 @@ def cosine_topk(
     )
 
 
+def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
+    """k-nearest-neighbor label prediction over the embedding space:
+    a deterministic md5 hash split (first hex digit < '4', ~25% —
+    llm16's retry-stable sampling device, so it holds at every scale
+    factor) carves out the unlabeled probe set; the rest are the
+    labeled training set. Each probe takes the majority label of its
+    ``k`` highest-cosine training neighbors (vote ties -> smaller
+    label, rank ties -> smaller neighbor id — total order, so the
+    oracle hash is exact).
+
+    Scale shape: the probe side broadcasts; the labeled side streams
+    through scan-parallel scoring, then two narrow shuffles on
+    query_id (top-k window, vote count). For probe sets too big to
+    broadcast, bucket both sides with the sign-LSH path
+    (:func:`cosine_topk` vs its LSH twin) — the classification layer
+    on top is unchanged.
+    """
+    is_probe = (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
+    )
+    queries = emb.filter(is_probe).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    train = emb.filter(~is_probe).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+    )
+    scored = F.broadcast(queries).join(spread_for_compute(train)).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding space — the class-profile /
+    cluster-summary pass (one row per (label, dimension)).
+
+    Float sums are order-dependent, so a naive AVG over shuffled
+    partitions is NOT oracle-hashable (the llm25 mixture-plan lesson).
+    Elements are therefore quantized to exact integers first —
+    ``floor(e * 1e6)`` on doubles is bit-deterministic in both
+    engines — summed exactly (integer addition commutes), and the
+    mean itself stays an INTEGER micro-value: Spark's ROUND
+    (BigDecimal HALF_UP on the exact binary expansion) and DuckDB's
+    (C round after an ``x*1e6`` re-multiply) disagree when s/n sits
+    at a .5 seventh-digit boundary — which the quantized ratio hits
+    routinely — so ``c_micro`` is computed with a portable
+    floor-identity, round-half-away(|s|/n) = floor((2|s|+n)/(2n)),
+    whose one IEEE division is bit-identical in both engines. Shape:
+    posexplode is scan-parallel; the one shuffle keys on (label, pos)
+    — bounded by labels x dims, never by row count — and partial
+    aggregation does the heavy summing map-side.
+    """
+    q = F.floor(F.col("e").cast("double") * F.lit(1000000.0)).cast("bigint")
+    s, n = F.col("s"), F.col("n")
+    ratio = (F.abs(s) * 2 + n).cast("double") / (n * 2).cast("double")
+    c_micro = F.floor(ratio).cast("bigint") * F.when(
+        s < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+    return (
+        spread_for_compute(emb)
+        .select("label", F.posexplode("embedding").alias("pos", "e"))
+        .select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(F.count("*").alias("n"), F.sum("q").alias("s"))
+        .select(
+            "label",
+            F.col("pos").cast("bigint").alias("pos"),
+            "n",
+            c_micro.alias("c_micro"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
 def ivf_assign(
     emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id"
 ) -> tuple[DataFrame, DataFrame]:

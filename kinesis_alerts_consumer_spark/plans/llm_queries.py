@@ -914,6 +914,232 @@ ORDER BY source, rnk
 """
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document passage dedup (keep first occurrence) over the
+    mutated corpus: the +1000000 near-dup copies share their leading
+    8-token blocks with the originals, so real duplicated passages
+    exist and the scrub provably removes them."""
+    t = _tables(spark, sf_dir)
+    return D.passage_dedup(_mutated_docs(t["documents"]), block=8)
+
+
+SQL_PASSAGE_DEDUP = f"""
+WITH base AS ({_MUTATED_DOCS_DUCK}),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM base),
+b AS (SELECT doc_id, i - 1 AS block_idx,
+             array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS btext
+      FROM w, UNNEST(generate_series(
+                1, CAST(ceil(len(ws) / 8.0) AS INT))) AS u(i)),
+b2 AS (SELECT doc_id, block_idx, btext, md5(btext) AS bfp,
+              len(string_split_regex(btext, '\\s+')) AS n_tok
+       FROM b),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bfp
+                                   ORDER BY doc_id, block_idx) AS rn
+      FROM b2)
+SELECT doc_id, COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       md5(COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN btext END, ' '
+                    ORDER BY block_idx), '')) AS kept_fp
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: auto-label the ~25% md5-split probe set
+    from the labeled remainder (the label-bootstrap pass of a
+    training-data pipeline)."""
+    t = _tables(spark, sf_dir)
+    return S.knn_classify(t["embeddings"], k=5)
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'),
+tr AS (SELECT vec_id AS neighbor_id, embedding, label FROM embeddings
+       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '4'),
+s AS (SELECT q.query_id, tr.neighbor_id, tr.label,
+             {_DUCK_COS.format(a='q.qe', b='tr.embedding')} AS cos
+      FROM q, tr),
+r AS (SELECT query_id, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s),
+v AS (SELECT query_id, label, COUNT(*) AS votes
+      FROM r WHERE rnk <= 5 GROUP BY query_id, label),
+p AS (SELECT query_id, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS vr
+      FROM v)
+SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+FROM p WHERE vr = 1 ORDER BY query_id
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return S.label_centroids(t["embeddings"])
+
+
+# floor-quantize to exact integers before summing (integer addition
+# commutes across partitions; double AVG would be shuffle-order
+# dependent and not hash-matchable). The mean stays integer too:
+# round-half-away(|s|/n) = floor((2|s|+n)/(2n)) — Spark and DuckDB
+# ROUND(double, 6) provably diverge at .5 seventh-digit boundaries
+# (caught by the sf0.01 gate: -0.016221 vs -0.01622).
+SQL_LABEL_CENTROIDS = """
+WITH x AS (SELECT label, i - 1 AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                       AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(generate_series(1, len(embedding))) AS u(i)),
+g AS (SELECT label, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+      FROM x GROUP BY label, pos)
+SELECT label, CAST(pos AS BIGINT) AS pos, n,
+       CAST(floor((2 * ABS(s) + n) / (2.0 * n)) AS BIGINT)
+         * (CASE WHEN s < 0 THEN -1 ELSE 1 END) AS c_micro
+FROM g ORDER BY label, pos
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data team actually
+    runs, composed from the engine's own operators in the standard
+    order: quality gate (llm09's score >= 0.8) -> exact dedup
+    keep-first (llm01) -> benchmark-contamination screen (llm21,
+    drop >= 5% shingle overlap; docs too short to shingle pass
+    vacuously via the anti-join) -> per-source cap (llm26, 40 best
+    by n_chars) -> deterministic mixture sample (llm16, en 50% /
+    others 90%) -> per-(lang, source) corpus profile. Every stage is
+    a narrow filter or an already-scale-audited operator, so the
+    composition inherits their 100 TB posture; the oracle replays the
+    identical CTE chain, making the hash compare an equivalence proof
+    for the WHOLE pipeline, not just its stages."""
+    from pyspark.sql import Window
+
+    from ..operators import sampling as SA
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # Everything the downstream stages need is computed SCAN-SIDE
+    # into a slim per-doc row (id, strata, fp, token count) — the
+    # text bodies never enter a shuffle; only the contamination
+    # screen reads them again, and it explodes to (doc_id, shingle)
+    # rows before ITS shuffle too. At 100 TB this is the difference
+    # between shuffling ~40 bytes/doc and shuffling the corpus.
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    slim = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        ntok.alias("ntok"),
+    )
+    good_ids = (
+        T.quality_scores(corpus)
+        .filter(F.col("quality") >= 0.8)
+        .select("doc_id")
+    )
+    good = slim.join(good_ids, "doc_id")
+    uniq = (
+        good.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # contamination is a per-doc verdict against the (broadcast)
+    # bench set only — independent of the other stages, so it runs
+    # over the raw corpus once and intersects as an id anti-join
+    dirty_ids = (
+        D.contamination_scores(corpus, bench, shingle=3)
+        .filter(F.col("contamination") >= 0.05)
+        .select("doc_id")
+    )
+    clean = uniq.join(dirty_ids, "doc_id", "left_anti")
+    capped = SA.source_cap(clean, cap=40, keep_columns=True)
+    rates = SA.stratified_rates({"en": 50}, F.col("lang"), default=90)
+    final = SA.hash_sample(capped, F.col("doc_id"), rates)
+    return (
+        final.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+qw AS (SELECT doc_id, text,
+              string_split_regex(trim(text), '\\s+') AS ws
+       FROM corpus),
+qm AS (SELECT doc_id, text, ws,
+              len(list_filter(ws, x -> list_contains(
+                  ['the','a','of','and','to'], x))) AS n_stop,
+              len(text) - len(regexp_replace(text,
+                  '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct
+       FROM qw),
+qr AS (SELECT doc_id,
+              CAST(n_stop AS DOUBLE) / len(ws) AS stop_ratio,
+              CAST(n_punct AS DOUBLE) / len(text) AS punct_ratio,
+              1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                AS repetition
+       FROM qm),
+good AS (SELECT c.* FROM corpus c JOIN qr USING (doc_id)
+         WHERE ROUND(1.0 - LEAST(qr.repetition, 1.0) * 0.5
+                         - LEAST(qr.punct_ratio * 10, 1.0) * 0.2
+                         + LEAST(qr.stop_ratio * 2, 0.3), 6) >= 0.8),
+uniq AS (SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS _rn
+           FROM good) WHERE _rn = 1),
+bsh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE doc_id % 97 = 0) b,
+             UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+        WHERE len(ws) >= 3),
+csh AS (SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM corpus) c,
+             UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+        WHERE len(ws) >= 3),
+dirty AS (SELECT csh.doc_id
+          FROM csh LEFT JOIN bsh ON csh.s = bsh.s
+          GROUP BY csh.doc_id
+          HAVING ROUND(SUM(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 6) >= 0.05),
+clean AS (SELECT * FROM uniq
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+capped AS (SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)
+                       AS rnk
+             FROM clean) WHERE rnk <= 40),
+final AS (SELECT * FROM capped
+          WHERE {_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
+                CASE WHEN lang = 'en' THEN 50 ELSE 90 END)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS n_tokens,
+       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+FROM final GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 def _semdedup_base(emb: DataFrame) -> DataFrame:
     """Planted near-dups for llm27 (the fixture's natural max cosine
     is ~0.51, llm05's device): vec_id<30 gains an EXACT copy at
@@ -1006,4 +1232,8 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm25_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "llm26_source_caps": (q_source_caps, SQL_SOURCE_CAPS),
     "llm27_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "llm28_passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "llm29_knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+    "llm30_label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "llm31_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
 }

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 81
+    assert len(qs) == 85
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -30,13 +30,13 @@ def test_query_count_and_oracle_coverage():
 def test_driver_window_priority():
     names = list(entry.queries())
     window = set(names[:50])
-    # round-5 rotation: dq01-28 (no green row since r3), the families
-    # whose code paths changed this round (st, kv, vol incl. the new
-    # vol03), and the ANN/mixture llm entries all sit inside the
-    # 50-key window
+    # round-5 rotation: dq03-29 (dq03-28: no green row since r3; dq29
+    # new), the families whose code paths changed this round (st incl.
+    # the new st07, kv minus the rotated-out kv02/03, vol incl. vol03),
+    # and the new/changed llm entries all sit inside the 50-key window
     must_pin = (
-        [f"dq{i:02d}" for i in range(3, 29)]
-        + ["kv", "vol", "st"]
+        [f"dq{i:02d}" for i in range(3, 30)]
+        + ["kv01", "kv04", "kv05", "kv06", "vol", "st"]
         + sorted(entry._R5_LLM_IN_WINDOW)
     )
     for want in must_pin:
@@ -44,6 +44,9 @@ def test_driver_window_priority():
         assert hit, f"no query named {want}*"
         missing = [n for n in hit if n not in window]
         assert not missing, f"{want} queries outside driver window: {missing}"
+    # rotated-out entries must NOT consume window slots
+    for out in entry._R5_OUT_OF_WINDOW:
+        assert out not in window, f"{out} should be outside the window"
     # no-oracle entries last inside the window, fewest-rows ext06 first
     assert names[48:50] == ["ext06_approx_quantiles", "ext05_approx_distinct"]
 

@@ -510,3 +510,112 @@ def test_source_cap_keeps_best_per_source(spark):
         top = {d for _, d in sorted(lst)[:5]}
         got = {r.doc_id for r in out if r.source == src}
         assert got == top, src
+
+
+def test_passage_dedup_constructed_blocks(spark):
+    """A doc repeating another doc's blocks keeps only novel blocks;
+    the canonical (first) occurrence keeps everything."""
+    from kinesis_alerts_consumer_spark.operators.dedup import passage_dedup
+
+    a = " ".join(f"w{i}" for i in range(16))        # blocks A0 A1
+    b = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(
+        f"x{i}" for i in range(8)
+    )                                                # blocks A0 B1
+    c = " ".join(f"x{i}" for i in range(8))          # block B1 again
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in passage_dedup(docs, block=8).collect()}
+    assert got[1].n_dup_blocks == 0 and got[1].kept_tokens == 16
+    # doc 2: first block duplicates doc 1's first block
+    assert got[2].n_dup_blocks == 1 and got[2].kept_tokens == 8
+    # doc 3: its only block already appeared in doc 2
+    assert got[3].n_dup_blocks == 1 and got[3].kept_tokens == 0
+    # scrubbed-empty doc hashes the empty string, not NULL
+    import hashlib
+
+    assert got[3].kept_fp == hashlib.md5(b"").hexdigest()
+
+
+def test_knn_classify_planted_clusters(spark):
+    """Probes sitting exactly on a training vector take its label."""
+    from kinesis_alerts_consumer_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+    is_probe = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
+    # training copies of each probe vector, planted with label 7
+    planted = (
+        emb.filter(is_probe)
+        .select((F.col("vec_id") + 500000).alias("vec_id"),
+                "embedding", F.lit(7).alias("label"))
+        # the md5 split must route every plant to the TRAIN side
+        .filter(~(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+                  < "4"))
+    )
+    n_planted = planted.count()
+    assert n_planted > 0
+    out = S.knn_classify(emb.unionByName(planted), k=1).collect()
+    preds = {r.query_id: r.pred_label for r in out}
+    kept_ids = {r.vec_id - 500000 for r in planted.collect()}
+    # with k=1 every probe whose plant survived the split must get 7
+    # (cos=1.0 beats every organic neighbor, max organic cos ~0.51)
+    for qid in kept_ids:
+        assert preds[qid] == 7, (qid, preds[qid])
+
+
+def test_label_centroids_exact_mean(spark):
+    """Centroid equals the quantized elementwise mean, label-complete."""
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        label_centroids,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+    rows = label_centroids(emb).collect()
+    import math
+    from collections import defaultdict
+
+    want = defaultdict(list)
+    for r in emb.select("label", "embedding").collect():
+        want[r.label].append(r.embedding)
+    got = {(r.label, r.pos): (r.n, r.c_micro) for r in rows}
+    for label, vecs in want.items():
+        for pos in (0, 31, 63):
+            s = sum(math.floor(float(v[pos]) * 1e6) for v in vecs)
+            n = len(vecs)
+            # round-half-away(|s|/n), the engines' floor identity
+            exp = math.floor((2 * abs(s) + n) / (2.0 * n)) * (
+                -1 if s < 0 else 1
+            )
+            gn, gc = got[(label, pos)]
+            assert gn == n and gc == exp, (label, pos, gc, exp)
+
+
+def test_curation_pipeline_stages_monotone(spark):
+    """Each curation stage only removes docs; the final profile is a
+    subset of the raw corpus profile."""
+    from kinesis_alerts_consumer_spark.plans.llm_queries import (
+        LLM_QUERIES,
+        _tables,
+    )
+    from pyspark.sql import functions as F
+
+    fn, _ = LLM_QUERIES["llm31_curation_pipeline"]
+    prof = fn(spark, SF_SMOKE).collect()
+    docs = _tables(spark, SF_SMOKE)["documents"]
+    raw = {
+        (r.lang, r.source): r.n
+        for r in docs.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert prof, "curation pipeline returned an empty profile"
+    total_kept = sum(r.n_docs for r in prof)
+    total_raw = sum(raw.values())
+    assert 0 < total_kept < total_raw
+    for r in prof:
+        assert r.n_docs <= raw[(r.lang, r.source)]
