@@ -68,11 +68,16 @@ class MetricsSink:
     Call :meth:`process_batch` from ``foreachBatch`` (or directly on a
     batch DataFrame). Output layout under ``out_dir``:
 
-      dd/         one row per Datadog point (parquet, partitioned by tag)
+      dd/         one row per Datadog point (parquet, batch_id/tag dirs)
       cw/         one row per CloudWatch datum (only for region tags)
       quarantine/ per-record error rows (the engine's DLQ for bad records)
       failed/     whole batches whose DD submit exhausted retries
-      gauges.jsonl  max_log_delay per batch (A2)
+      gauges/     batch-N.json max_log_delay per batch (A2)
+
+    dd/quarantine/failed are EXACTLY-ONCE under micro-batch replay
+    (dynamic overwrite of the ``batch_id=N`` partition); cw stays
+    best-effort append, mirroring the reference's unretried,
+    never-fails-the-batch CloudWatch path (alerts_consumer.go:271-281).
     """
 
     out_dir: str
@@ -83,6 +88,28 @@ class MetricsSink:
     def _path(self, *parts: str) -> str:
         return os.path.join(self.out_dir, *parts)
 
+    def _write_idempotent(
+        self, df: DataFrame, batch_id: int, *parts: str, tag: bool = False
+    ) -> None:
+        """Exactly-once parquet delivery under foreachBatch's
+        at-least-once replay contract: Structured Streaming re-runs a
+        failed micro-batch with the SAME batch_id, so writing into a
+        ``batch_id=N`` partition with dynamic partition overwrite
+        replaces the half-written attempt instead of appending a
+        duplicate — the standard idempotent-foreachBatch pattern. A
+        plain ``mode("append")`` here double-counts every replayed
+        point. (The pluggable HTTP transports stay at-least-once, as
+        the reference's PartialSendBatchError re-send does —
+        alerts_consumer.go:268.)"""
+        keys = ["batch_id"] + (["tag"] if tag else [])
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*keys)
+            .parquet(self._path(*parts))
+        )
+
     def process_batch(self, projected: DataFrame, batch_id: int = 0) -> None:
         from ..operators.project import cw_data, dd_points, quarantine
 
@@ -92,16 +119,20 @@ class MetricsSink:
             cw = cw_data(projected)
             quar = quarantine(projected)
 
-            quar.write.mode("append").parquet(self._path("quarantine"))
+            self._write_idempotent(quar, batch_id, "quarantine")
 
             # A2 max-delay gauge, computed from the batch's points
-            # (alerts_consumer.go:250-255) and appended like the
-            # reference's 15 s logMaxDelay emission (delay.go:35-39).
+            # (alerts_consumer.go:250-255), emitted like the
+            # reference's 15 s logMaxDelay (delay.go:35-39) — one
+            # whole file per batch_id so a replay overwrites its own
+            # prior attempt (same idempotence story as the parquet).
             from ..operators.volume import max_delay_seconds
 
             delay_row = max_delay_seconds(dd).collect()[0]
-            os.makedirs(self.out_dir, exist_ok=True)
-            with open(self._path("gauges.jsonl"), "a") as fh:
+            os.makedirs(self._path("gauges"), exist_ok=True)
+            with open(
+                self._path("gauges", f"batch-{int(batch_id):06d}.json"), "w"
+            ) as fh:
                 fh.write(
                     json.dumps(
                         {
@@ -114,9 +145,9 @@ class MetricsSink:
                 )
 
             submit = self.submit_dd or (
-                lambda df: df.write.mode("append")
-                .partitionBy("tag")
-                .parquet(self._path("dd"))
+                lambda df: self._write_idempotent(
+                    df, batch_id, "dd", tag=True
+                )
             )
             if getattr(submit, "handles_retry", False):
                 # Executor-side transports (DatadogTransport.submit)
@@ -133,7 +164,7 @@ class MetricsSink:
                 err = self.retry.run(lambda: submit(dd))
             if err is not None:
                 # PartialSendBatchError analogue: park the whole batch.
-                dd.write.mode("append").parquet(self._path("failed"))
+                self._write_idempotent(dd, batch_id, "failed")
 
             # CW: best-effort, only region-tagged data, never fails
             # batch. One submit call per (tag, <=20-datum chunk) —

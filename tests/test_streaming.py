@@ -93,8 +93,12 @@ def test_replay_matches_batch(spark, tmp_path):
 
     quar = spark.read.parquet(os.path.join(out_dir, "quarantine"))
     assert quar.count() == 1
-    with open(os.path.join(out_dir, "gauges.jsonl")) as fh:
-        gauges = [json.loads(l) for l in fh]
+    import glob
+
+    gauges = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "gauges", "*.json"))):
+        with open(p) as fh:
+            gauges.extend(json.loads(l) for l in fh)
     assert gauges and all(g["gauge"] == "max_log_delay" for g in gauges)
     assert all(g["value"] >= 0 for g in gauges)
 
@@ -302,3 +306,31 @@ def test_volume_processing_time_vs_event_time(spark, tmp_path):
     )
     by_hour = {r.w.start.hour: r.cnt for r in finals}
     assert by_hour == {18: 3, 19: 1}
+
+
+def test_metrics_sink_idempotent_replay(spark, tmp_path):
+    """foreachBatch re-runs a failed micro-batch with the SAME
+    batch_id; the sink must not double-deliver. Same batch_id twice ->
+    one copy; a new batch_id -> appended."""
+    from kinesis_alerts_consumer_spark.streaming.sinks import MetricsSink
+
+    lines = make_lines(10)
+    batch = process_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        "value", "test-env",
+    )
+    sink = MetricsSink(out_dir=str(tmp_path / "out"))
+    sink.process_batch(batch, batch_id=0)
+    sink.process_batch(batch, batch_id=0)  # replay of the same batch
+    dd = spark.read.parquet(str(tmp_path / "out" / "dd"))
+    n_once = dd.count()
+    assert dd.filter(F.col("batch_id") == 0).count() == n_once == 10
+    quar = spark.read.parquet(str(tmp_path / "out" / "quarantine"))
+    assert quar.count() == 1
+
+    sink.process_batch(batch, batch_id=1)  # genuinely new batch
+    assert spark.read.parquet(str(tmp_path / "out" / "dd")).count() == 20
+    import glob
+
+    gauge_files = glob.glob(str(tmp_path / "out" / "gauges" / "*.json"))
+    assert len(gauge_files) == 2  # one per batch_id, replay overwrote
