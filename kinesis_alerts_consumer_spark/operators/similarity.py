@@ -92,30 +92,30 @@ def cosine_topk(
     )
 
 
-def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
-    """k-nearest-neighbor label prediction over the embedding space:
-    a deterministic md5 hash split (first hex digit < '4', ~25% —
-    llm16's retry-stable sampling device, so it holds at every scale
-    factor) carves out the unlabeled probe set; the rest are the
-    labeled training set. Each probe takes the majority label of its
+def knn_classify(
+    emb: DataFrame, k: int = 5, num_probes: int = 20
+) -> DataFrame:
+    """k-nearest-neighbor label prediction: the ``num_probes`` lowest
+    vec_ids play the unlabeled incoming batch, classified against the
+    labeled remainder; each probe takes the majority label of its
     ``k`` highest-cosine training neighbors (vote ties -> smaller
     label, rank ties -> smaller neighbor id — total order, so the
     oracle hash is exact).
 
-    Scale shape: the probe side broadcasts; the labeled side streams
-    through scan-parallel scoring, then two narrow shuffles on
+    Scale shape: the probe set is a BOUNDED incoming batch, never a
+    fraction of the corpus — a fractional split makes the score pass
+    O(n^2) (a first cut used a 25% md5 split and measured 44x at 10x
+    rows; the adaptive-parameter trap BASELINE.md records for
+    llm05/llm27). With probes fixed, the broadcast-join scan is
+    O(probes x n) — linear — followed by two narrow shuffles on
     query_id (top-k window, vote count). For probe sets too big to
-    broadcast, bucket both sides with the sign-LSH path
-    (:func:`cosine_topk` vs its LSH twin) — the classification layer
-    on top is unchanged.
+    broadcast, bucket both sides with the sign-LSH path (llm07's
+    device) — the classification layer on top is unchanged.
     """
-    is_probe = (
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
-    )
-    queries = emb.filter(is_probe).select(
+    queries = emb.filter(F.col("vec_id") < num_probes).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    train = emb.filter(~is_probe).select(
+    train = emb.filter(F.col("vec_id") >= num_probes).select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "label"
     )
     scored = F.broadcast(queries).join(spread_for_compute(train)).select(

@@ -949,18 +949,18 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label propagation: auto-label the ~25% md5-split probe set
-    from the labeled remainder (the label-bootstrap pass of a
-    training-data pipeline)."""
+    """kNN label propagation: auto-label a bounded probe batch (the
+    20 lowest vec_ids) from the labeled remainder — the
+    label-bootstrap pass of a training-data pipeline."""
     t = _tables(spark, sf_dir)
-    return S.knn_classify(t["embeddings"], k=5)
+    return S.knn_classify(t["embeddings"], k=5, num_probes=20)
 
 
 SQL_KNN_CLASSIFY = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'),
+           WHERE vec_id < 20),
 tr AS (SELECT vec_id AS neighbor_id, embedding, label FROM embeddings
-       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '4'),
+       WHERE vec_id >= 20),
 s AS (SELECT q.query_id, tr.neighbor_id, tr.label,
              {_DUCK_COS.format(a='q.qe', b='tr.embedding')} AS cos
       FROM q, tr),

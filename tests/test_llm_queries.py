@@ -545,24 +545,20 @@ def test_knn_classify_planted_clusters(spark):
     from kinesis_alerts_consumer_spark.sources import register_tables
 
     emb = register_tables(spark, SF_SMOKE)["embeddings"]
-    is_probe = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
     # training copies of each probe vector, planted with label 7
-    planted = (
-        emb.filter(is_probe)
-        .select((F.col("vec_id") + 500000).alias("vec_id"),
-                "embedding", F.lit(7).alias("label"))
-        # the md5 split must route every plant to the TRAIN side
-        .filter(~(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-                  < "4"))
+    # (+500000 puts every plant on the train side of the id split)
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        "embedding",
+        F.lit(7).alias("label"),
     )
-    n_planted = planted.count()
-    assert n_planted > 0
-    out = S.knn_classify(emb.unionByName(planted), k=1).collect()
+    out = S.knn_classify(
+        emb.unionByName(planted), k=1, num_probes=20
+    ).collect()
     preds = {r.query_id: r.pred_label for r in out}
-    kept_ids = {r.vec_id - 500000 for r in planted.collect()}
-    # with k=1 every probe whose plant survived the split must get 7
-    # (cos=1.0 beats every organic neighbor, max organic cos ~0.51)
-    for qid in kept_ids:
+    # with k=1 every probe must take its plant's label (cos=1.0 beats
+    # every organic neighbor, max organic cos ~0.51)
+    for qid in range(20):
         assert preds[qid] == 7, (qid, preds[qid])
 
 

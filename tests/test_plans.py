@@ -108,3 +108,32 @@ def test_source_cap_plan_preprunes_before_shuffle(spark):
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_curation_pipeline_never_shuffles_text(spark):
+    """llm31's verdicts all compute scan-side; the text column must
+    not appear in ANY Exchange row — at 100 TB that is the difference
+    between shuffling ~40 bytes/doc and shuffling the corpus."""
+    from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
+
+    df = LLM_QUERIES["llm31_curation_pipeline"][0](spark, SF_SMOKE)
+    plan = _plan(df)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, "expected at least one exchange"
+    assert not any("text#" in l for l in exchange_lines), exchange_lines
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark):
+    """st07's interval join must carry watermarks on BOTH sides and
+    key the join state on user id — the properties that bound state at
+    O(watermark-window x rate) on an unbounded stream."""
+    from kinesis_alerts_consumer_spark.streaming.aggregates import (
+        purchase_click_join,
+        stream_events,
+    )
+
+    register_tables(spark, SF_SMOKE)
+    df = purchase_click_join(stream_events(spark, SF_SMOKE))
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2, analyzed
+    assert "StreamingRelation" in analyzed
