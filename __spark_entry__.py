@@ -56,6 +56,7 @@ _R5_OUT_OF_WINDOW = {
     "dq02_join_agg",
     "kv02_mongo_rule",
     "kv03_process_metrics",
+    "vol02_log_route_volume",
 }
 
 
@@ -75,11 +76,12 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
        rotation) -> revalidate. st07 (NEW stream-stream join) and
        vol03 (NEW salted hot-key rollup) need first green rows.
     3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
-       round-5 operators llm26-llm31.
-       27+5+7+3+7 - 1(kv01 counted once) = 48 oracle-backed keys:
-       27 dq + 4 kv + 7 st + 3 vol + 7 llm.
+       round-5 operators llm26-llm31. st08 (dropDuplicatesWithin-
+       Watermark) enters with its first green row. 48 oracle-backed
+       keys: 27 dq + 4 kv + 8 st + 2 vol + 7 llm.
     4. Rotated OUT (all green in r4): dq01/02, kv02/kv03 (rule paths
-       untouched), llm06/07 (pytest recall gate), llm13/llm25.
+       untouched), vol02 (untouched), llm06/07 (pytest recall gate),
+       llm13/llm25.
     5. ext06 then ext05 at positions 49-50: no-oracle rows-only
        entries sit last inside the window so nothing oracle-backed is
        lost if the driver halts at the first no-oracle entry.

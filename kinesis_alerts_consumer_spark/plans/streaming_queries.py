@@ -222,6 +222,62 @@ GROUP BY p.user_id ORDER BY p.user_id
 """
 
 
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the bounded-state streaming
+    dedup (Spark 3.5+). st04's plain ``dropDuplicates`` keeps every
+    key seen FOREVER — state grows with the stream and eventually
+    OOMs a 100 TB replay; the within-watermark variant evicts a key
+    once the watermark passes its first-seen event time + delay,
+    which is the production shape when duplicates arrive close
+    together (at-least-once sources re-deliver within seconds). The
+    replay doubles every record with a +1..5-minute timestamp jitter
+    (inside the 2h watermark, so every duplicate IS caught) and the
+    deduped profile must equal the plain batch profile."""
+    configure(spark)
+    doubled = (
+        stream_events(spark, sf_dir)
+        .withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "ts",
+            F.col("ts")
+            + F.make_dt_interval(
+                F.lit(0),
+                F.lit(0),
+                F.when(
+                    F.col("_copy") == 1, (F.col("event_id") % 5) + 1
+                ).otherwise(F.lit(0)),
+                F.lit(0),
+            ),
+        )
+        .drop("_copy")
+    )
+    name = "st_" + uuid.uuid4().hex[:12]
+    q = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.count_distinct("event_id").alias("nd"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAM_DEDUP_WM = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Scratch roots for the replay queries. The PREVIOUS run's dir is
 # removed on the next call (the returned DataFrame reads the sunk
 # parquet lazily, so the current one must outlive the call); whatever
@@ -378,4 +434,8 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "st05_stream_kayvee_pipeline": (q_stream_kayvee_pipeline, _st05_oracle()),
     "st06_stream_volume_rollup": (q_stream_volume_rollup, _st06_oracle()),
     "st07_stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+    "st08_stream_dedup_within_wm": (
+        q_stream_dedup_within_watermark,
+        SQL_STREAM_DEDUP_WM,
+    ),
 }

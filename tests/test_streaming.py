@@ -334,3 +334,63 @@ def test_metrics_sink_idempotent_replay(spark, tmp_path):
 
     gauge_files = glob.glob(str(tmp_path / "out" / "gauges" / "*.json"))
     assert len(gauge_files) == 2  # one per batch_id, replay overwrote
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of st03: final state
+    per key equals the batch aggregate. The TWS state server needs
+    google.protobuf — absent in this container, so this skips here
+    and runs wherever protobuf exists."""
+    pytest.importorskip("google.protobuf")
+    import uuid
+
+    from kinesis_alerts_consumer_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    name = "tws_" + uuid.uuid4().hex[:8]
+    q = (
+        running_user_totals_tws(stream_events(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .collect()
+    }
+    register_tables(spark, SF_SMOKE)
+    want = {
+        r.user_id: (r.n, round(r.sv, 2))
+        for r in spark.sql(
+            "SELECT user_id, COUNT(*) AS n,"
+            " SUM(COALESCE(value, 0.0)) AS sv FROM events GROUP BY user_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_gated_error_without_protobuf(spark):
+    """Without protobuf the operator must fail at build time with an
+    actionable message, not crash the stream mid-flight."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from kinesis_alerts_consumer_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    with pytest.raises(ImportError, match="protobuf"):
+        running_user_totals_tws(stream_events(spark, SF_SMOKE))
