@@ -56,6 +56,8 @@ _R5_OUT_OF_WINDOW = {
     "dq02_join_agg",
     "kv02_mongo_rule",
     "kv03_process_metrics",
+    "kv04_disposition",
+    "st04_stream_dedup",
     "vol02_log_route_volume",
 }
 
@@ -77,11 +79,13 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
        vol03 (NEW salted hot-key rollup) need first green rows.
     3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
        round-5 operators llm26-llm31. st08 (dropDuplicatesWithin-
-       Watermark) enters with its first green row. 48 oracle-backed
-       keys: 27 dq + 4 kv + 8 st + 2 vol + 7 llm.
-    4. Rotated OUT (all green in r4): dq01/02, kv02/kv03 (rule paths
-       untouched), vol02 (untouched), llm06/07 (pytest recall gate),
-       llm13/llm25.
+       Watermark), dq30 (grouping sets + FILTER clause) and dq31
+       (advanced strings) enter with first green rows. 48
+       oracle-backed keys: 29 dq + 3 kv + 7 st + 2 vol + 7 llm.
+    4. Rotated OUT (all green in r4): dq01/02, kv02/kv03/kv04 (rule
+       and disposition paths untouched), st04 (plain dropDuplicates,
+       untouched; st08 covers the dedup machinery), vol02
+       (untouched), llm06/07 (pytest recall gate), llm13/llm25.
     5. ext06 then ext05 at positions 49-50: no-oracle rows-only
        entries sit last inside the window so nothing oracle-backed is
        lost if the driver halts at the first no-oracle entry.

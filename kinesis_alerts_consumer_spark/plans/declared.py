@@ -256,6 +256,37 @@ FROM days LEFT JOIN (
 ) c ON days.d = c.ed
 ORDER BY d
 """,
+    # Explicit GROUPING SETS + GROUPING() disambiguation + FILTER-
+    # clause conditional aggregates. GROUPING() is cast to BIGINT:
+    # Spark types it TINYINT, DuckDB BIGINT, and the driver's value
+    # hash is integer-width-sensitive (the HUGEINT lesson).
+    "dq30_grouping_sets_filter": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       COUNT(*) AS cnt,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000) AS big_cnt,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1%'), 2)
+         AS urgent_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST
+""",
+    # Advanced string scalar family: edit distance, field splitting,
+    # padding. VARCHAR needs an explicit length for Spark's parser;
+    # DuckDB parses and ignores it — the portable spelling.
+    "dq31_advanced_strings": """
+SELECT c_custkey,
+       levenshtein(c_mktsegment, 'BUILDING') AS lev,
+       split_part(c_name, '#', 2) AS name_num,
+       reverse(c_mktsegment) AS rev,
+       left(c_name, 8) AS l8, right(c_name, 3) AS r3,
+       lpad(CAST(c_custkey AS VARCHAR(12)), 8, '0') AS padded,
+       repeat('ab', 3) AS rep
+FROM customer ORDER BY c_custkey LIMIT 150
+""",
 }
 
 # DuckDB-dialect twins for queries that are NOT verbatim-portable.
