@@ -57,6 +57,7 @@ _R5_OUT_OF_WINDOW = {
     "kv02_mongo_rule",
     "kv03_process_metrics",
     "kv04_disposition",
+    "st03_stream_stateful_totals",
     "st04_stream_dedup",
     "vol02_log_route_volume",
 }
@@ -79,9 +80,10 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
        vol03 (NEW salted hot-key rollup) need first green rows.
     3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
        round-5 operators llm26-llm31. st08 (dropDuplicatesWithin-
-       Watermark), dq30 (grouping sets + FILTER clause) and dq31
-       (advanced strings) enter with first green rows. 48
-       oracle-backed keys: 29 dq + 3 kv + 7 st + 2 vol + 7 llm.
+       Watermark), dq30 (grouping sets + FILTER clause), dq31
+       (advanced strings) and vol04 (salted hot-key JOIN) enter with
+       first green rows. 48 oracle-backed keys:
+       29 dq + 3 kv + 6 st + 3 vol + 7 llm.
     4. Rotated OUT (all green in r4): dq01/02, kv02/kv03/kv04 (rule
        and disposition paths untouched), st04 (plain dropDuplicates,
        untouched; st08 covers the dedup machinery), vol02

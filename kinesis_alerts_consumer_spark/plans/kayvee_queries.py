@@ -496,6 +496,64 @@ FROM x GROUP BY env, app, team ORDER BY env, app, team
 
 
 
+# -------- vol04: skewed fact->dim join through the SALTED JOIN
+
+
+def q_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-JOIN twin of vol03: ~50% of fact rows share one app
+    key ('apphot'), joined to a small per-app quota dim through
+    operators/skew.salted_join — the left side salts uniformly, the
+    dim replicates per salt, so the hot key's rows land on salt_n
+    reducers instead of one. Salting is invisible in the result (each
+    left row matches exactly its salt's replica), so the oracle is
+    the PLAIN join. The weighted sum is integer-exact
+    (floor(value*mult*100) cents, the llm30 device) — a double SUM
+    over a 50%-hot group is large enough for engine summation order
+    to flip a ROUND(_,2) at the boundary."""
+    from ..operators import skew as SK
+
+    t = _tables(spark, sf_dir)
+    ev = spread_for_compute(t["events"])
+    eid = F.col("event_id")
+    fact = ev.select(
+        F.when(eid % 2 == 0, F.lit("apphot"))
+        .otherwise(F.concat(F.lit("app"), _s(F.col("user_id") % 4)))
+        .alias("app"),
+        "value",
+    )
+    dim = spark.createDataFrame(
+        [("apphot", 0.5), ("app0", 1.0), ("app1", 1.5),
+         ("app2", 2.0), ("app3", 2.5)],
+        "app string, mult double",
+    )
+    joined = SK.salted_join(fact, dim, key="app", salt_n=8)
+    cents = F.floor(F.col("value") * F.col("mult") * 100).cast("bigint")
+    return (
+        joined.groupBy("app")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("weighted_cents"),
+        )
+        .orderBy("app")
+    )
+
+
+SQL_HOT_KEY_JOIN = """
+WITH f AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'apphot'
+              ELSE 'app' || CAST(user_id % 4 AS VARCHAR) END AS app,
+         value
+  FROM events),
+d (app, mult) AS (VALUES ('apphot', 0.5), ('app0', 1.0), ('app1', 1.5),
+                         ('app2', 2.0), ('app3', 2.5))
+SELECT f.app AS app, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(f.value * d.mult * 100) AS BIGINT)) AS BIGINT)
+         AS weighted_cents
+FROM f JOIN d ON f.app = d.app
+GROUP BY f.app ORDER BY f.app
+"""
+
+
 # ------------- kv06: multi-route fan-out + mixed-region dispatch
 # (alerts_consumer_test.go:306-380 multi-route golden; :406-687 region
 # batch dispatch; tag rules alerts_consumer.go:206-223)
@@ -663,6 +721,7 @@ KAYVEE_QUERIES: dict[str, tuple] = {
     "vol01_log_volume": (q_log_volume, SQL_LOG_VOLUME),
     "vol02_log_route_volume": (q_log_route_volume, SQL_LOG_ROUTE_VOLUME),
     "vol03_hot_key_rollup": (q_hot_key_log_volume, SQL_HOT_KEY_LOG_VOLUME),
+    "vol04_hot_key_join": (q_hot_key_join, SQL_HOT_KEY_JOIN),
     "kv05_config_rules": (q_kayvee_config_rules, SQL_KAYVEE_CONFIG_RULES),
     "kv06_multiroute_regions": (
         q_kayvee_multiroute_regions,

@@ -137,3 +137,20 @@ def test_stream_stream_join_state_is_watermark_bounded(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("EventTimeWatermark") == 2, analyzed
     assert "StreamingRelation" in analyzed
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """vol04's join must key on (app, _salt) — the hot key's rows land
+    on salt_n reducers — and the replicated 5-row dim must broadcast."""
+    from kinesis_alerts_consumer_spark.plans.kayvee_queries import (
+        KAYVEE_QUERIES,
+    )
+
+    df = KAYVEE_QUERIES["vol04_hot_key_join"][0](spark, SF_SMOKE)
+    plan = _plan(df)
+    join_lines = [
+        l for l in plan.splitlines()
+        if "Join" in l and "app" in l
+    ]
+    assert join_lines and all("_salt" in l for l in join_lines), join_lines
+    assert "BroadcastHashJoin" in plan
