@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rule paths untouched this round).
 _R5_LLM_IN_WINDOW = {
     "llm24_ann_cosine_topk_pq",
+    "llm32_length_outliers",
     "llm26_source_caps",
     "llm27_semantic_dedup",
     "llm28_passage_dedup",
@@ -57,6 +58,7 @@ _R5_OUT_OF_WINDOW = {
     "kv02_mongo_rule",
     "kv03_process_metrics",
     "kv04_disposition",
+    "st01_stream_hourly_rollup",
     "st03_stream_stateful_totals",
     "st04_stream_dedup",
     "vol02_log_route_volume",
@@ -81,9 +83,9 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
        round-5 operators llm26-llm31. st08 (dropDuplicatesWithin-
        Watermark), dq30 (grouping sets + FILTER clause), dq31
-       (advanced strings) and vol04 (salted hot-key JOIN) enter with
-       first green rows. 48 oracle-backed keys:
-       29 dq + 3 kv + 6 st + 3 vol + 7 llm.
+       (advanced strings), vol04 (salted hot-key JOIN) and llm32
+       (MAD length outliers) enter with first green rows. 48
+       oracle-backed keys: 29 dq + 3 kv + 5 st + 3 vol + 8 llm.
     4. Rotated OUT (all green in r4): dq01/02, kv02/kv03/kv04 (rule
        and disposition paths untouched), st04 (plain dropDuplicates,
        untouched; st08 covers the dedup machinery), vol02

@@ -326,3 +326,42 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
             F.round(F.avg("c"), 6).alias("avg_chars"),
         )
     )
+
+
+def length_outliers(docs: DataFrame) -> DataFrame:
+    """Robust per-language length-outlier profile: median token count,
+    MAD (median absolute deviation), and how many docs sit beyond the
+    classic 3xMAD fence — the outlier screen a curation pipeline runs
+    before trusting length-based quality heuristics (mean/stddev are
+    useless here because the outliers themselves drag them).
+
+    Determinism: token counts are integers and both engines compute
+    exact interpolated medians, so med/mad are exact halves — no
+    float-order hazard anywhere. Scale: two median aggs keyed on lang;
+    Spark's percentile agg is exact (per-group sort). At 100 TB swap
+    `median` for `approx_percentile(_, 0.5, eps)` — the fence barely
+    moves and the sort disappears; kept exact here for the oracle.
+    """
+    t = spread_for_compute(docs).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+    )
+    med = t.groupBy("lang").agg(F.median("ntok").alias("med"))
+    d = t.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("ntok") - F.col("med"))
+    )
+    mad = d.groupBy("lang").agg(F.median("adev").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )

@@ -1140,6 +1140,48 @@ FROM final GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) length-outlier screen over a corpus with
+    PLANTED outliers (docs 0-9 re-appear at +3000000 with their text
+    repeated 5x — the fixture's organic lengths are uniform enough
+    that the 3xMAD fence flags nothing, which would prove nothing)."""
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", "text", "text", "text", "text", "text"
+        ).alias("text"),
+        "lang",
+    )
+    base = docs.select("doc_id", "text", "lang").unionAll(planted)
+    return T.length_outliers(base)
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH base AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         text || ' ' || text || ' ' || text || ' ' || text || ' ' || text,
+         lang
+  FROM documents WHERE doc_id < 10),
+t AS (SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok
+      FROM base),
+m AS (SELECT lang, MEDIAN(ntok) AS med FROM t GROUP BY lang),
+d AS (SELECT t.lang, ABS(t.ntok - m.med) AS adev
+      FROM t JOIN m ON t.lang = m.lang),
+s AS (SELECT lang, MEDIAN(adev) AS mad FROM d GROUP BY lang)
+SELECT d.lang AS lang, COUNT(*) AS n_docs,
+       MIN(m.med) AS med, MIN(s.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN m ON d.lang = m.lang JOIN s ON d.lang = s.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def _semdedup_base(emb: DataFrame) -> DataFrame:
     """Planted near-dups for llm27 (the fixture's natural max cosine
     is ~0.51, llm05's device): vec_id<30 gains an EXACT copy at
@@ -1236,4 +1278,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm29_knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "llm30_label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "llm31_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "llm32_length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
 }
