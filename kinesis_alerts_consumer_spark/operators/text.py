@@ -365,3 +365,45 @@ def length_outliers(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def token_commonness(docs: DataFrame) -> DataFrame:
+    """Corpus-statistics quality score (the CCNet-style LM-filter
+    shape): each doc scored by how common its tokens are corpus-wide
+    — rare-token soup (mojibake, boilerplate IDs, wrong-language
+    fragments) scores low. Classic form is mean unigram log-prob; the
+    log is dropped here because JVM Math.log and libm log can differ
+    in the last ulp (a floor/ROUND flip hazard), while the monotone
+    integer form cannot: score_ppm = floor(sum(df_count) * 1e6 /
+    (n_tok * N)) over exact integer counts — one IEEE division +
+    floor, bit-identical cross-engine.
+
+    Scale shape: token-count agg (token key, map-side partials),
+    shuffled join of (doc_id, token) against the counts — token is
+    the uniform shuffle key; at 100 TB broadcast the top-K vocab and
+    shuffle only the tail — then one doc_id agg. N arrives as a
+    1-row broadcast cross join, never a driver collect.
+    """
+    docs = spread_for_compute(docs)
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("df_count"))
+    n_total = counts.select(F.sum("df_count").alias("n_total"))
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("df_count").alias("sum_count"),
+        )
+    )
+    score = F.floor(
+        (F.col("sum_count") * F.lit(1000000)).cast("double")
+        / (F.col("n_tok") * F.col("n_total")).cast("double")
+    ).cast("bigint")
+    return (
+        per_doc.crossJoin(F.broadcast(n_total))
+        .select("doc_id", "n_tok", score.alias("score_ppm"))
+        .orderBy("doc_id")
+    )

@@ -1182,6 +1182,28 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return T.token_commonness(t["documents"])
+
+
+SQL_TOKEN_COMMONNESS = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+'))
+               AS token
+             FROM documents),
+counts AS (SELECT token, COUNT(*) AS df_count FROM tok GROUP BY token),
+n AS (SELECT CAST(SUM(df_count) AS BIGINT) AS n_total FROM counts),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tok,
+                   CAST(SUM(df_count) AS BIGINT) AS sum_count
+            FROM tok JOIN counts USING (token) GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       CAST(floor(CAST(sum_count * 1000000 AS DOUBLE)
+                  / CAST(n_tok * n_total AS DOUBLE)) AS BIGINT)
+         AS score_ppm
+FROM per_doc, n ORDER BY doc_id
+"""
+
+
 def _semdedup_base(emb: DataFrame) -> DataFrame:
     """Planted near-dups for llm27 (the fixture's natural max cosine
     is ~0.51, llm05's device): vec_id<30 gains an EXACT copy at
@@ -1279,4 +1301,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm30_label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "llm31_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "llm32_length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
+    "llm33_token_commonness": (q_token_commonness, SQL_TOKEN_COMMONNESS),
 }

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 90
+    assert len(qs) == 91
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -37,7 +37,7 @@ def test_driver_window_priority():
     must_pin = (
         [f"dq{i:02d}" for i in range(3, 32)]
         + ["kv01", "kv05", "kv06", "vol01", "vol03", "vol04",
-           "st02", "st05", "st06", "st07", "st08"]
+           "st05", "st06", "st07", "st08"]
         + sorted(entry._R5_LLM_IN_WINDOW)
     )
     for want in must_pin:
