@@ -46,6 +46,7 @@ _R5_LLM_IN_WINDOW = {
     "llm24_ann_cosine_topk_pq",
     "llm32_length_outliers",
     "llm33_token_commonness",
+    "llm34_random_projection",
     "llm26_source_caps",
     "llm27_semantic_dedup",
     "llm28_passage_dedup",
@@ -59,6 +60,7 @@ _R5_OUT_OF_WINDOW = {
     "kv02_mongo_rule",
     "kv03_process_metrics",
     "kv04_disposition",
+    "kv05_config_rules",
     "st01_stream_hourly_rollup",
     "st02_stream_sessions",
     "st03_stream_stateful_totals",
@@ -85,10 +87,10 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
        round-5 operators llm26-llm31. st08 (dropDuplicatesWithin-
        Watermark), dq30 (grouping sets + FILTER clause), dq31
-       (advanced strings), vol04 (salted hot-key JOIN), llm32 (MAD
-       length outliers) and llm33 (token commonness) enter with
+       (advanced strings), vol04 (salted hot-key JOIN) and llm32-34
+       (MAD outliers, token commonness, JL projection) enter with
        first green rows. 48 oracle-backed keys:
-       29 dq + 3 kv + 4 st + 3 vol + 9 llm.
+       29 dq + 2 kv + 4 st + 3 vol + 10 llm.
     4. Rotated OUT (all green in r4): dq01/02, kv02/kv03/kv04 (rule
        and disposition paths untouched), st04 (plain dropDuplicates,
        untouched; st08 covers the dedup machinery), vol02

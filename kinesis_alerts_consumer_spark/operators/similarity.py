@@ -656,3 +656,60 @@ def semantic_dedup(
         )
         .orderBy("cluster")
     )
+
+
+def _rp_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic +-1 sign matrix for random projection: sign(j,k)
+    = parity of md5(f"{k}:{j}") — no RNG, so both engines inline the
+    SAME literal matrix and results are reproducible run-to-run (the
+    retry-stable property every deterministic op here shares)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame, out_dim: int = 16, in_dim: int = 64
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: compress each
+    embedding to ``out_dim`` dims via a fixed +-1 matrix — the
+    standard cheap dimension reduction run BEFORE ANN indexing /
+    clustering at corpus scale. The JL guarantee is NORM/distance
+    preservation within ~sqrt(2/out_dim) (gated in pytest:
+    E[||Px||^2] = out_dim * ||x||^2); note rank-ordering of cosines
+    is NOT meaningfully preserved on this fixture — its embeddings
+    are uniform-random, so all pairwise distances are nearly equal
+    and any sketch's ordering is noise. On clustered real data the
+    neighborhoods survive; here the honest testable property is the
+    norm bound.
+
+    Scale shape: a pure narrow map — the sign matrix is a plan
+    literal (bytes, not a join side), each output dim one sequential
+    zip_with/aggregate dot product, so the pass is scan-parallel with
+    zero shuffle and the projected table is out_dim/in_dim the size.
+    The sequential aggregate keeps the float sum order-fixed —
+    DuckDB's list_dot_product reproduces it bit-for-bit (the
+    engine-pair property the cosine oracle already relies on)."""
+    signs = _rp_signs(in_dim, out_dim)
+    cols = [
+        F.round(
+            dot(
+                F.col("embedding"),
+                F.array(*[F.lit(float(s)) for s in signs[k]]),
+            ),
+            6,
+        ).alias(f"p{k}")
+        for k in range(out_dim)
+    ]
+    return (
+        spread_for_compute(emb)
+        .select("vec_id", *cols)
+        .orderBy("vec_id")
+    )

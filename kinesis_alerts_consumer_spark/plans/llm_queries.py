@@ -1204,6 +1204,32 @@ FROM per_doc, n ORDER BY doc_id
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64 -> 16 dims — the cheap dimension
+    reduction run before ANN indexing/clustering at corpus scale."""
+    t = _tables(spark, sf_dir)
+    return S.random_projection(t["embeddings"], out_dim=16, in_dim=64)
+
+
+def _rp_sql() -> str:
+    from ..operators.similarity import _rp_signs
+
+    signs = _rp_signs(64, 16)
+    cols = ",\n       ".join(
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST([{', '.join(f'{s}.0' for s in signs[k])}] AS DOUBLE[])), 6)"
+        f" AS p{k}"
+        for k in range(16)
+    )
+    return (
+        f"SELECT vec_id,\n       {cols}\n"
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+
+SQL_RANDOM_PROJECTION = _rp_sql()
+
+
 def _semdedup_base(emb: DataFrame) -> DataFrame:
     """Planted near-dups for llm27 (the fixture's natural max cosine
     is ~0.51, llm05's device): vec_id<30 gains an EXACT copy at
@@ -1302,4 +1328,5 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm31_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "llm32_length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "llm33_token_commonness": (q_token_commonness, SQL_TOKEN_COMMONNESS),
+    "llm34_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
 }

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 91
+    assert len(qs) == 92
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -36,7 +36,7 @@ def test_driver_window_priority():
     # and the new/changed llm entries all sit inside the 50-key window
     must_pin = (
         [f"dq{i:02d}" for i in range(3, 32)]
-        + ["kv01", "kv05", "kv06", "vol01", "vol03", "vol04",
+        + ["kv01", "kv06", "vol01", "vol03", "vol04",
            "st05", "st06", "st07", "st08"]
         + sorted(entry._R5_LLM_IN_WINDOW)
     )

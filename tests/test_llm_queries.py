@@ -615,3 +615,37 @@ def test_curation_pipeline_stages_monotone(spark):
     assert 0 < total_kept < total_raw
     for r in prof:
         assert r.n_docs <= raw[(r.lang, r.source)]
+
+
+def test_random_projection_preserves_norms(spark):
+    """The JL guarantee this sketch provides: E[||Px||^2] =
+    out_dim * ||x||^2 with per-vector deviation ~sqrt(2/out_dim).
+    (Rank-ordering of cosines is NOT gated: the fixture embeddings
+    are uniform-random, so all pairwise distances are nearly equal
+    and any sketch's ordering of them is noise — measured rho 0.36 at
+    8 dims, 0.55 even at 32; on clustered real data neighborhoods
+    survive, but the honest testable property HERE is the norm
+    bound.)"""
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        random_projection,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    out_dim = 16
+    proj = {
+        r.vec_id: [r[f"p{k}"] for k in range(out_dim)]
+        for r in random_projection(emb, out_dim=out_dim).collect()
+    }
+    ratios = []
+    for vid, v in vecs.items():
+        nx = sum(x * x for x in v)
+        np_ = sum(p * p for p in proj[vid])
+        assert nx > 0
+        ratios.append(np_ / (out_dim * nx))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 <= mean <= 1.15, f"norm scaling off: mean={mean:.3f}"
+    assert all(0.25 <= r <= 2.5 for r in ratios), (
+        min(ratios), max(ratios)
+    )
