@@ -175,3 +175,44 @@ def test_route_fanout_count(spark, n_alerts, n_other):
     assert dd_points(df).count() == n_alerts
     if n_alerts == 0:
         assert df.filter("ignored").count() == 1
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_passage_dedup_invariants(spark, docs):
+    """For ANY corpus: block accounting is conserved (dup + kept
+    counts partition the blocks), kept tokens never exceed totals,
+    every distinct block text survives in exactly one doc, and a
+    duplicate-free corpus passes through untouched."""
+    from kinesis_alerts_consumer_spark.operators.dedup import passage_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in passage_dedup(df, block=4).collect()}
+
+    total_tokens = {i: len(words) for i, words in enumerate(docs)}
+    n_blocks = {i: (len(w) + 3) // 4 for i, w in enumerate(docs)}
+    distinct_blocks = {
+        " ".join(w[s : s + 4])
+        for w in docs
+        for s in range(0, len(w), 4)
+    }
+    kept_total = sum(r.kept_tokens for r in out.values())
+    # each distinct block text survives exactly once corpus-wide
+    assert kept_total == sum(len(b.split(" ")) for b in distinct_blocks)
+    for i, words in enumerate(docs):
+        r = out[i]
+        assert r.n_blocks == n_blocks[i]
+        assert 0 <= r.n_dup_blocks <= r.n_blocks
+        assert 0 <= r.kept_tokens <= total_tokens[i]
