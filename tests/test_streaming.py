@@ -394,3 +394,90 @@ def test_transform_with_state_gated_error_without_protobuf(spark):
 
     with pytest.raises(ImportError, match="protobuf"):
         running_user_totals_tws(stream_events(spark, SF_SMOKE))
+
+
+def test_stream_stream_join_multi_batch_matches_batch(spark, tmp_path):
+    """st07's join state must survive ACROSS micro-batches: replaying
+    events as day-ordered files with maxFilesPerTrigger=2 forces many
+    batches, so a purchase early in day k+1 must still find clicks
+    buffered from the day-k batch (retention), while the watermark
+    evicts older state (eviction). Day-ordered files keep every event
+    ahead of the watermark, so the multi-batch result must EQUAL the
+    batch interval join — if state were dropped between batches,
+    cross-batch pairs would vanish."""
+    import uuid
+
+    from kinesis_alerts_consumer_spark.sources import register_tables
+    from kinesis_alerts_consumer_spark.streaming.aggregates import (
+        purchase_click_join,
+    )
+
+    t = register_tables(spark, SF_SMOKE)
+    ev = t["events"].withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    days = sorted(r.d for r in ev.select("d").distinct().collect())
+    src = tmp_path / "days"
+    src.mkdir()
+    for i, day in enumerate(days):
+        (
+            ev.filter(F.col("d") == day)
+            .drop("d")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"stage{i}"))
+        )
+        import glob as g
+        import shutil
+
+        part = g.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"day-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.drop("d").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+        # parquet round-trip lands TIMESTAMP_NTZ; watermarks need
+        # TIMESTAMP (session tz is pinned UTC, value-preserving) —
+        # the same normalization stream_events applies
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = "st_" + uuid.uuid4().hex[:8]
+    q = (
+        purchase_click_join(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    n_batches = len(q.recentProgress)
+    got = {
+        (r.p_id, r.c_user, r.c_ts)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.p_id, r.c_user, r.c_ts)
+        for r in purchase_click_join_batch(t["events"]).collect()
+    }
+    assert n_batches >= 5, f"only {n_batches} micro-batches — not multi-batch"
+    assert got == want and len(got) > 0
+
+
+def purchase_click_join_batch(events):
+    """Batch twin of the streaming interval join (same condition)."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
