@@ -396,21 +396,13 @@ def test_transform_with_state_gated_error_without_protobuf(spark):
         running_user_totals_tws(stream_events(spark, SF_SMOKE))
 
 
-def test_stream_stream_join_multi_batch_matches_batch(spark, tmp_path):
-    """st07's join state must survive ACROSS micro-batches: replaying
-    events as day-ordered files with maxFilesPerTrigger=2 forces many
-    batches, so a purchase early in day k+1 must still find clicks
-    buffered from the day-k batch (retention), while the watermark
-    evicts older state (eviction). Day-ordered files keep every event
-    ahead of the watermark, so the multi-batch result must EQUAL the
-    batch interval join — if state were dropped between batches,
-    cross-batch pairs would vanish."""
-    import uuid
-
+def _day_ordered_stream(spark, tmp_path, files_per_trigger=2):
+    """events replayed as one file per day, processed in day order
+    with ``files_per_trigger`` files per micro-batch — the harness
+    for cross-batch state tests. Day-ordering keeps every event ahead
+    of the watermark (it only advances between batches), so results
+    stay deterministic."""
     from kinesis_alerts_consumer_spark.sources import register_tables
-    from kinesis_alerts_consumer_spark.streaming.aggregates import (
-        purchase_click_join,
-    )
 
     t = register_tables(spark, SF_SMOKE)
     ev = t["events"].withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
@@ -433,13 +425,32 @@ def test_stream_stream_join_multi_batch_matches_batch(spark, tmp_path):
 
     stream = (
         spark.readStream.schema(ev.drop("d").schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(str(src))
         # parquet round-trip lands TIMESTAMP_NTZ; watermarks need
         # TIMESTAMP (session tz is pinned UTC, value-preserving) —
         # the same normalization stream_events applies
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    return stream, t["events"]
+
+
+def test_stream_stream_join_multi_batch_matches_batch(spark, tmp_path):
+    """st07's join state must survive ACROSS micro-batches: replaying
+    events as day-ordered files with maxFilesPerTrigger=2 forces many
+    batches, so a purchase early in day k+1 must still find clicks
+    buffered from the day-k batch (retention), while the watermark
+    evicts older state (eviction). Day-ordered files keep every event
+    ahead of the watermark, so the multi-batch result must EQUAL the
+    batch interval join — if state were dropped between batches,
+    cross-batch pairs would vanish."""
+    import uuid
+
+    from kinesis_alerts_consumer_spark.streaming.aggregates import (
+        purchase_click_join,
+    )
+
+    stream, events = _day_ordered_stream(spark, tmp_path)
     name = "st_" + uuid.uuid4().hex[:8]
     q = (
         purchase_click_join(stream)
@@ -457,10 +468,16 @@ def test_stream_stream_join_multi_batch_matches_batch(spark, tmp_path):
     }
     want = {
         (r.p_id, r.c_user, r.c_ts)
-        for r in purchase_click_join_batch(t["events"]).collect()
+        for r in purchase_click_join_batch(events).collect()
     }
     assert n_batches >= 5, f"only {n_batches} micro-batches — not multi-batch"
     assert got == want and len(got) > 0
+    # state-boundedness: the watermark must have EVICTED old buffers —
+    # final join state holds the trailing watermark window, nowhere
+    # near one row per stream event (the O(window x rate) claim)
+    state = json.loads(q.lastProgress.json)["stateOperators"][0]
+    n_events = events.count()
+    assert 0 < state["numRowsTotal"] < n_events / 2, state["numRowsTotal"]
 
 
 def purchase_click_join_batch(events):
@@ -481,3 +498,32 @@ def purchase_click_join_batch(events):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
+
+
+def test_dedup_within_watermark_state_is_bounded(spark, tmp_path):
+    """st08's scale claim, proven from the state-store metrics: plain
+    dropDuplicates keeps one state row per key FOREVER (state ==
+    total keys at stream end), while dropDuplicatesWithinWatermark
+    evicts keys once the watermark passes — after a 30-day day-ordered
+    replay with a 2 h watermark, the final state must hold roughly one
+    day's keys, a small fraction of the total."""
+    import uuid
+
+    stream, events = _day_ordered_stream(spark, tmp_path)
+    name = "st_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    n_events = events.count()
+    # no organic duplicates -> every event passes through exactly once
+    assert spark.table(name).count() == n_events
+    state = json.loads(q.lastProgress.json)["stateOperators"][0]
+    assert 0 < state["numRowsTotal"] < n_events / 5, state["numRowsTotal"]
+    assert state["numRowsRemoved"] > 0, "watermark never evicted state"
