@@ -55,6 +55,13 @@ def salted_agg(
     is ``xxhash64(salt_on) % salt_n`` when ``salt_on`` is given (use a
     high-cardinality column, e.g. the row id) else a per-row uniform
     ``rand`` — either way the merged result is salt-invariant.
+
+    PREFER ``salt_on``: seeded ``rand`` is partition-layout-dependent
+    (two runs over differently-partitioned input salt differently), so
+    only the hash path gives replay-deterministic phase-1 partials —
+    required if partials are checkpointed, audited, or diffed across
+    runs. The ``rand`` fallback survives for inputs with no content
+    worth hashing.
     """
     for fn, _ in aggs.values():
         if fn not in _PARTIAL:

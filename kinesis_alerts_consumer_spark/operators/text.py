@@ -375,8 +375,10 @@ def token_commonness(docs: DataFrame) -> DataFrame:
     log is dropped here because JVM Math.log and libm log can differ
     in the last ulp (a floor/ROUND flip hazard), while the monotone
     integer form cannot: score_ppm = floor(sum(df_count) * 1e6 /
-    (n_tok * N)) over exact integer counts — one IEEE division +
-    floor, bit-identical cross-engine.
+    (n_tok * N)) with each integer count cast to double BEFORE any
+    multiply (so nothing can wrap past 2^63 at corpus scale) — IEEE
+    multiply/divide/floor are exactly specified, bit-identical
+    cross-engine.
 
     Scale shape: token-count agg (token key, map-side partials),
     shuffled join of (doc_id, token) against the counts — token is
@@ -398,9 +400,15 @@ def token_commonness(docs: DataFrame) -> DataFrame:
             F.sum("df_count").alias("sum_count"),
         )
     )
+    # Cast EACH operand to double BEFORE multiplying: at corpus scale
+    # (n_total in the trillions) the int64 products sum_count*1e6 and
+    # n_tok*n_total exceed 2^63 — Spark's long multiply would wrap
+    # silently (wrong score) while DuckDB raises. Double multiply and
+    # divide are exactly-specified IEEE ops, identical cross-engine;
+    # exactness of the product isn't load-bearing (score is floored).
     score = F.floor(
-        (F.col("sum_count") * F.lit(1000000)).cast("double")
-        / (F.col("n_tok") * F.col("n_total")).cast("double")
+        (F.col("sum_count").cast("double") * F.lit(1000000.0))
+        / (F.col("n_tok").cast("double") * F.col("n_total").cast("double"))
     ).cast("bigint")
     return (
         per_doc.crossJoin(F.broadcast(n_total))

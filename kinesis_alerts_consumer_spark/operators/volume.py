@@ -80,14 +80,27 @@ def salted_log_volume(parsed: DataFrame, salt_n: int = 16) -> DataFrame:
 
     count/sum are algebraic, so the salted result is EXACTLY the plain
     groupBy result (the oracle is the plain GROUP BY — salting must be
-    algebraically invisible)."""
+    algebraically invisible). The salt is a HASH of per-record content
+    (timestamp + byte count), not ``rand``: seeded rand is
+    partition-layout-dependent, so two replays over differently-
+    partitioned input would salt differently — harmless for the final
+    result (algebraic merge) but it breaks replay determinism of the
+    phase-1 partials, which matters when partials are checkpointed or
+    audited."""
     from .skew import salted_agg
 
+    k = _keys(parsed)
+    salt_src = (
+        F.xxhash64(F.col("timestamp"), F.col("num_bytes"))
+        if "timestamp" in k.columns
+        else F.xxhash64(F.col("num_bytes"))
+    )
     return salted_agg(
-        _keys(parsed),
+        k,
         keys=["env", "app", "team"],
         aggs={"cnt": ("count", F.lit(1)), "size": ("sum", "num_bytes")},
         salt_n=salt_n,
+        salt_on=salt_src,
     )
 
 

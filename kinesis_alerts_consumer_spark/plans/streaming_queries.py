@@ -204,7 +204,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_pairs"),
             F.countDistinct("p_id").alias("n_purchases"),
-            F.round(F.sum("c_value"), 2).alias("click_value"),
+            # floor-cents, not ROUND(SUM(double),2): a per-user group
+            # aggregates many doubles, so engine summation order could
+            # flip a .xx5 boundary (the vol04/llm30 hazard). Integer
+            # addition commutes across partitions; floor(double*100) is
+            # a single exactly-specified IEEE op in both engines.
+            F.sum(F.floor(F.col("c_value") * 100)).alias("click_cents"),
         )
         .orderBy("user_id")
     )
@@ -213,7 +218,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_STREAM_JOIN = """
 SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
        COUNT(DISTINCT p.event_id) AS n_purchases,
-       ROUND(SUM(c.value), 2) AS click_value
+       CAST(SUM(CAST(floor(c.value * 100) AS BIGINT)) AS BIGINT)
+         AS click_cents
 FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts

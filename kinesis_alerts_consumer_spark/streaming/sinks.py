@@ -40,6 +40,11 @@ from pyspark.sql import functions as F
 # allowlist small enough to fit one call — the sink enforces it).
 CW_MAX_DATA_PER_CALL = 20
 
+# Driver-collect cap for the CW path: the collect is safe ONLY because
+# the allowlist bounds the row count; this cap enforces that premise
+# (≈500 calls' worth) instead of trusting it.
+_CW_COLLECT_BOUND = 10_000
+
 
 @dataclass
 class RetryPolicy:
@@ -100,7 +105,23 @@ class MetricsSink:
         plain ``mode("append")`` here double-counts every replayed
         point. (The pluggable HTTP transports stay at-least-once, as
         the reference's PartialSendBatchError re-send does —
-        alerts_consumer.go:268.)"""
+        alerts_consumer.go:268.)
+
+        Dynamic overwrite alone only replaces partitions PRESENT in
+        the replay: if a half-written failed attempt wrote a
+        (batch_id, tag) partition that the replay — after a code or
+        config change between attempts — no longer produces, the
+        stale tag partition would survive and double-count. So the
+        whole ``batch_id=N`` directory is removed first; the replay
+        then rebuilds exactly its own output. (On an object store
+        this delete becomes a prefix delete — same one-batch blast
+        radius, still no cross-batch window.)"""
+        base = self._path(*parts)
+        stale = os.path.join(base, f"batch_id={int(batch_id)}")
+        if os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
         keys = ["batch_id"] + (["tag"] if tag else [])
         (
             df.withColumn("batch_id", F.lit(int(batch_id)))
@@ -186,7 +207,21 @@ class MetricsSink:
                     .parquet(self._path("cw"))
                 )
                 cw_regional = cw.filter(F.col("tag") != "default")
-                cw_rows = cw_regional.collect()
+                # Keep the driver-collect bound HONEST: the CW side is
+                # small only because the allowlist is small. take(N+1)
+                # caps driver memory even if the allowlist grows
+                # pathologically; the raise lands in the outer
+                # never-fail except (CW stays best-effort, the batch
+                # proceeds — alerts_consumer.go:271-281 logs and
+                # continues the same way).
+                cw_rows = cw_regional.take(_CW_COLLECT_BOUND + 1)
+                if len(cw_rows) > _CW_COLLECT_BOUND:
+                    raise RuntimeError(
+                        "CloudWatch side exceeded the allowlist-bounded "
+                        f"collect cap ({_CW_COLLECT_BOUND} rows/batch); "
+                        "shrink the allowlist or move CW submit "
+                        "executor-side like DatadogTransport"
+                    )
                 cw_rows.sort(key=lambda r: (r["tag"], str(tuple(r))))
                 spark = projected.sparkSession
                 schema = cw_regional.schema
