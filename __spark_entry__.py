@@ -33,74 +33,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_declared(spark, "/root/testdata/sf0.001", "dq02_join_agg")
 
 
-# llm entries kept inside the round-5 window: llm24 (PQ distance-sum
-# made order-fixed this round) and the SIX new round-5 operators
-# (llm26 source caps, llm27 semantic dedup, llm28 passage dedup,
-# llm29 kNN classify, llm30 label centroids, llm31 curation
-# pipeline) which need their first green row. To hold the window at
-# 48 while dq29 (recursive CTE) and st07 (stream-stream join) also
-# enter, these r4-green entries rotate out: dq01/02, llm06/07 (also
-# pinned by the pytest recall gate), llm13/llm25, and kv02/kv03
-# (rule paths untouched this round).
-_R5_LLM_IN_WINDOW = {
-    "llm24_ann_cosine_topk_pq",
-    "llm32_length_outliers",
-    "llm33_token_commonness",
-    "llm34_random_projection",
-    "llm26_source_caps",
-    "llm27_semantic_dedup",
-    "llm28_passage_dedup",
-    "llm29_knn_classify",
-    "llm30_label_centroids",
-    "llm31_curation_pipeline",
-}
-_R5_OUT_OF_WINDOW = {
-    "dq01_filter_project",
-    "dq02_join_agg",
-    "kv02_mongo_rule",
-    "kv03_process_metrics",
-    "kv04_disposition",
-    "kv05_config_rules",
-    "st01_stream_hourly_rollup",
-    "st02_stream_sessions",
-    "st03_stream_stateful_totals",
-    "st04_stream_dedup",
-    "vol02_log_route_volume",
-}
+# Round-6 window: an EXPLICIT 48-name set (the r5 family-predicate +
+# exception-set scheme drifted from its own prose — r5 ADVICE item 1 —
+# so the membership is now enumerated, not derived).
+#
+# Composition, per the r4/r5 rotation invariant (every oracle-backed
+# query green within the trailing TWO rounds):
+#   * the 42 entries whose last green row is r4 — the r5 verdict's
+#     hard deadline: dq01/02, ext01-04, kv02-05, llm01-23, llm25,
+#     mm01-03, st01-04, vol02. Everything green in r5
+#     (dq03-31, kv01/kv06, vol01/vol04, st05/st06/st08, llm24,
+#     llm26-32, llm34) rotates out.
+#   * 3 NEW entries needing first green rows: llm35 (md5-distinct —
+#     dq10's 100 TB rewrite), llm36 (shingle containment), ext07
+#     (bucketed shuffle-free join).
+#   * 3 re-validations of entries whose code changed this round:
+#     st07 (floor-cents), llm33 (overflow-safe double cast), vol03
+#     (hash-salt instead of seeded rand).
+_R6_WINDOW = frozenset(
+    ["dq01_filter_project", "dq02_join_agg"]
+    + ["ext01_asof_join", "ext02_range_join", "ext03_pivot",
+       "ext04_percentiles", "ext07_bucketed_join"]
+    + ["kv02_mongo_rule", "kv03_process_metrics", "kv04_disposition",
+       "kv05_config_rules"]
+    + ["llm01_dedup_exact", "llm02_minhash_signatures",
+       "llm03_near_dup_minhash_lsh", "llm04_simhash",
+       "llm05_embedding_near_dup", "llm06_ann_cosine_topk",
+       "llm07_ann_cosine_topk_lsh", "llm08_token_stats",
+       "llm09_quality_scores", "llm10_language_id",
+       "llm11_fingerprints", "llm12_corpus_profile",
+       "llm13_ann_cosine_topk_ivf", "llm14_winnowing",
+       "llm15_dedup_clusters", "llm16_hash_sample",
+       "llm17_sequence_packing", "llm18_pii_redaction",
+       "llm19_doc_chunking", "llm20_tfidf_vocab",
+       "llm21_contamination", "llm22_cross_snapshot_dedup",
+       "llm23_ngram_repetition", "llm25_mixture_plan",
+       "llm33_token_commonness", "llm35_distinct_md5_counts",
+       "llm36_shingle_containment"]
+    + ["mm01_media_features", "mm02_frame_plan", "mm03_resize_plan"]
+    + ["st01_stream_hourly_rollup", "st02_stream_sessions",
+       "st03_stream_stateful_totals", "st04_stream_dedup",
+       "st07_stream_stream_join"]
+    + ["vol02_log_route_volume", "vol03_hot_key_rollup"]
+)
 
 
 def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     """(name, fn, oracle_sql|None) in driver-priority insertion order.
 
     The driver's correctness snapshot records EXACTLY the first 50 keys
-    of insertion order (cap confirmed over r01-r04). Round-5 rotation,
-    per the r4 verdict's "re-pin dq03-dq28" directive — every
-    oracle-backed query should be green within the trailing TWO rounds:
-
-    1. dq03-dq28: green r1+r2+r3 but OUTSIDE the r4 window; no green
-       row since r3 -> back in-window. dq29 (NEW recursive CTE)
-       enters with its first green row.
-    2. st01-st06 + kv01/kv04-06 + vol01-02: code paths touched this
-       round (executor-side DD submit, ts sanity gate, scratch-dir
-       rotation) -> revalidate. st07 (NEW stream-stream join) and
-       vol03 (NEW salted hot-key rollup) need first green rows.
-    3. _R5_LLM_IN_WINDOW: llm24's order-fixed ADC sum + the six new
-       round-5 operators llm26-llm31. st08 (dropDuplicatesWithin-
-       Watermark), dq30 (grouping sets + FILTER clause), dq31
-       (advanced strings), vol04 (salted hot-key JOIN) and llm32-34
-       (MAD outliers, token commonness, JL projection) enter with
-       first green rows. 48 oracle-backed keys:
-       29 dq + 2 kv + 4 st + 3 vol + 10 llm.
-    4. Rotated OUT (all green in r4): dq01/02, kv02/kv03/kv04 (rule
-       and disposition paths untouched), st04 (plain dropDuplicates,
-       untouched; st08 covers the dedup machinery), vol02
-       (untouched), llm06/07 (pytest recall gate), llm13/llm25.
-    5. ext06 then ext05 at positions 49-50: no-oracle rows-only
-       entries sit last inside the window so nothing oracle-backed is
-       lost if the driver halts at the first no-oracle entry.
-    6. outside (green in r4): the rest. tests/test_entry_contract.py
-       pins the layout and fails loudly if the window composition
-       drifts past 48.
+    of insertion order (cap confirmed over r01-r05). Round-6 window =
+    the explicit ``_R6_WINDOW`` set (composition documented at its
+    definition — 42 last-green-in-r4 entries + 3 new + 3 changed).
+    ext06 then ext05 sit at positions 49-50: no-oracle rows-only
+    entries last inside the window so nothing oracle-backed is lost if
+    the driver halts at the first no-oracle entry. Everything green in
+    r5 sits outside. tests/test_entry_contract.py pins the layout and
+    fails loudly if the composition drifts past 48.
     """
     oracle_backed: dict[str, tuple[Callable, str]] = {}
     no_oracle: list[tuple[str, Callable, None]] = []
@@ -117,22 +106,16 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
             oracle_sql_for(name),
         )
 
-    def in_window(name: str) -> bool:
-        if name in _R5_OUT_OF_WINDOW:
-            return False
-        fam = name.split("_", 1)[0]
-        return (
-            fam.startswith(("dq", "kv", "vol", "st"))
-            or name in _R5_LLM_IN_WINDOW
-        )
-
-    window = sorted(n for n in oracle_backed if in_window(n))
-    rest = sorted(n for n in oracle_backed if not in_window(n))
+    missing = _R6_WINDOW - set(oracle_backed)
+    if missing:
+        raise RuntimeError(f"window names not registered: {sorted(missing)}")
+    window = sorted(n for n in oracle_backed if n in _R6_WINDOW)
+    rest = sorted(n for n in oracle_backed if n not in _R6_WINDOW)
     if len(window) != 48:
         raise RuntimeError(
             f"driver window holds {len(window)} oracle-backed keys, "
-            "want 48 — adjust _R5_LLM_IN_WINDOW / in_window so the "
-            "no-oracle entries stay at positions 49-50"
+            "want 48 — adjust _R6_WINDOW so the no-oracle entries "
+            "stay at positions 49-50"
         )
     entries = [(n, *oracle_backed[n]) for n in window]
     # ext06 (fewest driver rows) before ext05

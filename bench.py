@@ -46,7 +46,11 @@ def build_bench_line(timings: dict[str, float], sf: str) -> str:
             # mirror a deployment where a query compiles once and
             # runs for hours.
             "warmup": ["all@sf", "pandas_pool"],
-        }
+        },
+        # compact separators: at 95 queries the default ", "/": "
+        # padding alone (~200 chars) would push the worst-case line
+        # past the driver's ~2000-char stdout tail buffer
+        separators=(",", ":"),
     )
     if len(line) >= 1900:
         raise RuntimeError(f"bench JSON line too long ({len(line)})")

@@ -211,6 +211,58 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    shingle: int = 3,
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment over candidate pairs — the
+    near-dup relation Jaccard misses: a short document quoted whole
+    inside a long one has tiny Jaccard (union is the long doc) but
+    containment ≈ 1. Used for quote/subset-duplication detection in
+    training-data curation (the scale path shares
+    :func:`lsh_candidate_pairs`' banded buckets, so only candidate
+    pairs — not all pairs — are scored).
+
+    Emits both directions as exact-integer ppm:
+    ``cont_a_ppm = floor(|A∩B| * 1e6 / |A|)`` (how much of A is inside
+    B) and symmetrically ``cont_b_ppm``; keeps pairs where either
+    direction >= ``threshold_ppm``. Operands are cast to double
+    BEFORE the multiply (products stay < 2^53, single IEEE
+    multiply/divide/floor — bit-identical cross-engine, no ROUND).
+    """
+    sets = spread_for_compute(docs).select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingles_of(F.col("_toks"), shingle)).alias("s"),
+    )
+    pairs = (
+        candidates.join(sets.withColumnRenamed("doc_id", "a"), "a")
+        .withColumnRenamed("s", "sa")
+        .join(
+            sets.withColumnRenamed("doc_id", "b").withColumnRenamed("s", "sb"),
+            "b",
+        )
+    )
+    # LSH candidates always carry >=1 shingle per side; the guard makes
+    # the operator total for arbitrary candidate sets (no div-by-zero).
+    pairs = pairs.filter((F.size("sa") > 0) & (F.size("sb") > 0))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    ppm = lambda size_col: F.floor(  # noqa: E731 — local expression builder
+        inter * F.lit(1000000.0) / F.size(size_col).cast("double")
+    ).cast("bigint")
+    scored = pairs.select(
+        "a", "b",
+        ppm(F.col("sa")).alias("cont_a_ppm"),
+        ppm(F.col("sb")).alias("cont_b_ppm"),
+    )
+    return scored.filter(
+        F.greatest("cont_a_ppm", "cont_b_ppm") >= F.lit(threshold_ppm)
+    )
+
+
 def contamination_scores(
     corpus: DataFrame, benchmark: DataFrame, shingle: int = 3
 ) -> DataFrame:

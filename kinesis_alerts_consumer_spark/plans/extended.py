@@ -150,6 +150,71 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------ bucketed-table join
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE fact↔dim join via bucketed tables
+    (operators/skew.write_bucketed): orders and customer are persisted
+    ONCE bucketed+sorted by custkey, so the join reads co-located
+    buckets and plans SortMergeJoin with NO Exchange on custkey
+    (plan-asserted in tests/test_plans.py) — the 100 TB pattern for a
+    fact table joined on the same key every day: pay the shuffle once
+    at ingest, never again. Revenue is floor-cents integer-exact (the
+    vol04 device). Oracle = the plain join, since bucketing is purely
+    physical.
+
+    The bucketed copies live under a content-stable scratch dir and
+    are REUSED across calls in one pipeline session (ingest once, join
+    many) — rewritten only when absent, e.g. first run per sf_dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.skew import write_bucketed
+
+    t = _tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"kacs_bucketed_{tag}")
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        names[tbl] = f"bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(names[tbl]):
+            (
+                t[tbl].write.bucketBy(32, key).sortBy(key)
+                .option("path", os.path.join(root, tbl))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(names[tbl])
+            )
+    o = spark.table(names["orders"])
+    # MERGE hint: at fixture scale the optimizer would broadcast the
+    # tiny customer table (also shuffle-free, but it proves nothing
+    # about bucketing); at 100 TB both sides are large and the
+    # bucket-aligned SortMergeJoin IS the target plan — the hint makes
+    # the test-scale plan the production plan.
+    c = spark.table(names["customer"]).hint("merge")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ----------------------------- approximate aggregates (rows-only)
 # HLL / GK-sketch results are engine-specific by design — declared as
 # capabilities with a rows-only driver check (SURVEY.md §2B
@@ -194,6 +259,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "ext02_range_join": (q_range_join, SQL_RANGE_JOIN),
     "ext03_pivot": (q_pivot, SQL_PIVOT),
     "ext04_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "ext07_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     # rows-only (no oracle): approximate by construction
     "ext05_approx_distinct": (q_approx_distinct, None),
     "ext06_approx_quantiles": (q_approx_quantiles, None),

@@ -1197,8 +1197,9 @@ per_doc AS (SELECT doc_id, COUNT(*) AS n_tok,
                    CAST(SUM(df_count) AS BIGINT) AS sum_count
             FROM tok JOIN counts USING (token) GROUP BY doc_id)
 SELECT doc_id, n_tok,
-       CAST(floor(CAST(sum_count * 1000000 AS DOUBLE)
-                  / CAST(n_tok * n_total AS DOUBLE)) AS BIGINT)
+       CAST(floor((CAST(sum_count AS DOUBLE) * 1000000.0)
+                  / (CAST(n_tok AS DOUBLE) * CAST(n_total AS DOUBLE)))
+            AS BIGINT)
          AS score_ppm
 FROM per_doc, n ORDER BY doc_id
 """
@@ -1294,6 +1295,96 @@ ORDER BY per.cluster
 """
 
 
+def q_distinct_md5_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq10's 100 TB rewrite (PLAN_AUDIT.md's one text-through-
+    exchange row): COUNT(DISTINCT text) must shuffle every document
+    body to its distinct-hash reducer — at corpus scale that moves
+    the whole corpus over the network. Hashing first
+    (COUNT(DISTINCT md5(text))) shuffles a 32-byte digest instead,
+    with identical counts (md5 collisions at corpus scale: ~n^2/2^129
+    — zero in practice, and the same device llm01's exact-dedup
+    already relies on, dedup.py exact_dedup). dq10 stays in the
+    surface verbatim for SQL portability; this is the plan a 100 TB
+    deployment runs. Plan-asserted: no text# in any Exchange
+    (tests/test_plans.py)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(
+                F.md5(F.col("text").cast("binary"))
+            ).alias("distinct_texts"),
+        )
+        .orderBy("lang", "source")
+        .limit(50)
+    )
+
+
+SQL_DISTINCT_MD5 = """
+SELECT lang, source, COUNT(*) AS n,
+       COUNT(DISTINCT md5(text)) AS distinct_texts
+FROM documents GROUP BY lang, source ORDER BY lang, source LIMIT 50
+"""
+
+
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (quote/subset detection): the
+    relation Jaccard misses. Candidates come from the SAME banded-LSH
+    buckets as llm03 (only candidate pairs are scored — the scale
+    path); the score is exact-integer ppm, no ROUND (see
+    operators/dedup.containment_pairs). The mutated corpus's
+    truncated copies are true subsets of their originals, so their
+    containment is exactly 1e6 ppm."""
+    t = _tables(spark, sf_dir)
+    base = _mutated_docs(t["documents"])
+    cands = D.lsh_candidate_pairs(
+        base, bands=2, rows_per_band=2, shingle=3, max_bucket=64
+    )
+    return D.containment_pairs(
+        base, cands, shingle=3, threshold_ppm=800_000
+    ).orderBy("a", "b")
+
+
+SQL_SHINGLE_CONTAINMENT = f"""
+WITH base AS ({_MUTATED_DOCS_DUCK}),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM base),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+       WHERE len(ws) >= 3),
+sig AS (SELECT doc_id, {_duck_minhash(4)} FROM sh GROUP BY doc_id),
+bb AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig
+       UNION ALL
+       SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig),
+keep AS (SELECT band, r0, r1 FROM bb GROUP BY band, r0, r1
+         HAVING COUNT(*) <= 64),
+bf AS (SELECT bb.doc_id, bb.band, bb.r0, bb.r1
+       FROM bb JOIN keep USING (band, r0, r1)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bf l JOIN bf r ON l.band = r.band AND l.r0 = r.r0
+          AND l.r1 = r.r1 AND l.doc_id < r.doc_id),
+tok AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        sa.n AS na, sb.n AS nb
+      FROM cand c
+      JOIN sz sa ON sa.doc_id = c.a
+      JOIN sz sb ON sb.doc_id = c.b),
+p AS (SELECT a, b,
+        CAST(floor(CAST(inter AS DOUBLE) * 1000000.0
+                   / CAST(na AS DOUBLE)) AS BIGINT) AS cont_a_ppm,
+        CAST(floor(CAST(inter AS DOUBLE) * 1000000.0
+                   / CAST(nb AS DOUBLE)) AS BIGINT) AS cont_b_ppm
+      FROM j)
+SELECT a, b, cont_a_ppm, cont_b_ppm FROM p
+WHERE GREATEST(cont_a_ppm, cont_b_ppm) >= 800000
+ORDER BY a, b
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1329,4 +1420,9 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm32_length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "llm33_token_commonness": (q_token_commonness, SQL_TOKEN_COMMONNESS),
     "llm34_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "llm35_distinct_md5_counts": (q_distinct_md5_counts, SQL_DISTINCT_MD5),
+    "llm36_shingle_containment": (
+        q_shingle_containment,
+        SQL_SHINGLE_CONTAINMENT,
+    ),
 }

@@ -51,7 +51,14 @@ def audit(sf_dir: str) -> list[dict]:
                 "smj": plan.count("SortMergeJoin"),
                 "wgl": plan.count("WindowGroupLimit"),
                 "wscg": plan.count("WholeStageCodegen"),
-                "text_in_exchange": any("text#" in l for l in exch),
+                # 'text#N' inside the md5(cast(text#N as binary))
+                # expression NAME is the 32-byte digest computed
+                # map-side (llm35) — only a BARE text#N means document
+                # bodies in the shuffle.
+                "text_in_exchange": any(
+                    "text#" in l.replace("md5(cast(text#", "md5(cast(col#")
+                    for l in exch
+                ),
             }
         )
     return rows
@@ -69,10 +76,11 @@ def main() -> None:
         "",
         "Known flag: dq10's verbatim `COUNT(DISTINCT text)` inherently",
         "ships text through its distinct shuffle — the declared SQL is",
-        "pinned portable; at 100 TB rewrite as",
-        "`COUNT(DISTINCT md5(text))` (exact for distinct-counting, 32",
-        "bytes per row) — the device every llm dedup operator already",
-        "uses.",
+        "pinned portable. Its 100 TB rewrite is GATED as",
+        "llm35_distinct_md5_counts (`COUNT(DISTINCT md5(text))`, exact",
+        "for distinct-counting, 32 bytes per shuffled row) and",
+        "plan-asserted text-free in tests/test_plans.py — run llm35's",
+        "plan at scale, keep dq10 for SQL portability.",
         "",
         "| query | hashEx | rangeEx | broadcast | SMJ | WGL | WSCG | text in exchange |",
         "|---|---|---|---|---|---|---|---|",

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 92
+    assert len(qs) == 95
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -30,24 +30,25 @@ def test_query_count_and_oracle_coverage():
 def test_driver_window_priority():
     names = list(entry.queries())
     window = set(names[:50])
-    # round-5 rotation: dq03-29 (dq03-28: no green row since r3; dq29
-    # new), the families whose code paths changed this round (st incl.
-    # the new st07, kv minus the rotated-out kv02/03, vol incl. vol03),
-    # and the new/changed llm entries all sit inside the 50-key window
-    must_pin = (
-        [f"dq{i:02d}" for i in range(3, 32)]
-        + ["kv01", "kv06", "vol01", "vol03", "vol04",
-           "st05", "st06", "st07", "st08"]
-        + sorted(entry._R5_LLM_IN_WINDOW)
-    )
-    for want in must_pin:
-        hit = [n for n in names if n.startswith(want)]
-        assert hit, f"no query named {want}*"
-        missing = [n for n in hit if n not in window]
-        assert not missing, f"{want} queries outside driver window: {missing}"
-    # rotated-out entries must NOT consume window slots
-    for out in entry._R5_OUT_OF_WINDOW:
-        assert out not in window, f"{out} should be outside the window"
+    # round-6 rotation: the window IS the explicit _R6_WINDOW set —
+    # the 42 entries whose last green row is r4 (the r5 verdict's
+    # hard rotation deadline), the 3 new entries (llm35/llm36/ext07)
+    # and the 3 changed-this-round re-validations (st07/llm33/vol03).
+    assert entry._R6_WINDOW <= window, sorted(entry._R6_WINDOW - window)
+    assert len(entry._R6_WINDOW) == 48
+    # everything green in r5 must NOT consume window slots
+    for out in (["dq%02d" % i for i in range(3, 32)]
+                + ["kv01_route_project", "kv06_multiroute_regions",
+                   "vol01_log_volume", "vol04_hot_key_join",
+                   "st05_stream_kayvee_pipeline", "st06_stream_volume_rollup",
+                   "st08_stream_dedup_within_wm",
+                   "llm24_ann_cosine_topk_pq", "llm26_source_caps",
+                   "llm27_semantic_dedup", "llm28_passage_dedup",
+                   "llm29_knn_classify", "llm30_label_centroids",
+                   "llm31_curation_pipeline", "llm32_length_outliers",
+                   "llm34_random_projection"]):
+        hit = [n for n in window if n.startswith(out)]
+        assert not hit, f"{out} should be outside the window: {hit}"
     # no-oracle entries last inside the window, fewest-rows ext06 first
     assert names[48:50] == ["ext06_approx_quantiles", "ext05_approx_distinct"]
 

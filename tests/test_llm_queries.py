@@ -649,3 +649,34 @@ def test_random_projection_preserves_norms(spark):
     assert all(0.25 <= r <= 2.5 for r in ratios), (
         min(ratios), max(ratios)
     )
+
+
+def test_containment_detects_subset_at_full_ppm(spark):
+    """A document whose shingles are a strict subset of another's must
+    score containment of EXACTLY 1_000_000 ppm in the subset→superset
+    direction (integer math, no rounding slack), while Jaccard for the
+    same pair can sit well below a near-dup threshold — the asymmetric
+    relation llm36 exists to catch."""
+    from kinesis_alerts_consumer_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p q r s t"),
+            # doc 2 = first 8 words of doc 1: every 3-shingle of doc 2
+            # is a shingle of doc 1; Jaccard = 6/18 = 0.33
+            (2, "a b c d e f g h"),
+            (3, "z y x w v u t s r q"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "a long, b long"
+    )
+    rows = {
+        (r.a, r.b): (r.cont_a_ppm, r.cont_b_ppm)
+        for r in D.containment_pairs(
+            docs, cands, shingle=3, threshold_ppm=800_000
+        ).collect()
+    }
+    # (1,2): b-in-a containment is exact 1e6; a-in-b is 6/18
+    assert rows == {(1, 2): (333333, 1000000)}, rows

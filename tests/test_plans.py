@@ -154,3 +154,38 @@ def test_salted_join_spreads_hot_key(spark):
     ]
     assert join_lines and all("_salt" in l for l in join_lines), join_lines
     assert "BroadcastHashJoin" in plan
+
+
+def test_md5_distinct_never_shuffles_text(spark):
+    """llm35 is dq10's 100 TB rewrite: COUNT(DISTINCT md5(text))
+    must shuffle 32-byte digests, never document bodies — no text#
+    in ANY Exchange (dq10 itself keeps the verbatim-SQL plan and is
+    flagged in PLAN_AUDIT.md; this is its gated mitigation)."""
+    from kinesis_alerts_consumer_spark.plans.llm_queries import LLM_QUERIES
+
+    df = LLM_QUERIES["llm35_distinct_md5_counts"][0](spark, SF_SMOKE)
+    plan = _plan(df)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, "expected at least one exchange"
+    # 'text#N' may appear INSIDE the md5(cast(text#N as binary))
+    # expression name (the 32-byte digest computed map-side, which is
+    # exactly the point); a bare text#N outside it would mean bodies
+    # in the shuffle.
+    stripped = [
+        l.replace("md5(cast(text#", "md5(cast(col#") for l in exchange_lines
+    ]
+    assert not any("text#" in l for l in stripped), exchange_lines
+
+
+def test_bucketed_join_plans_no_join_key_exchange(spark):
+    """ext07: orders⋈customer over bucketed tables must plan a
+    SortMergeJoin with NO Exchange on the join key — the pay-the-
+    shuffle-once-at-ingest pattern. The only exchanges allowed are
+    the final small per-segment aggregation's."""
+    from kinesis_alerts_consumer_spark.plans.extended import EXT_QUERIES
+
+    df = EXT_QUERIES["ext07_bucketed_join"][0](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("custkey" in l for l in exchange_lines), exchange_lines
