@@ -54,12 +54,15 @@ def replay_lines(
     checkpoint_dir: str,
     deploy_env: str = "production",
     sink: MetricsSink | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Bounded availableNow replay of a line directory through the full
     pipeline into a :class:`MetricsSink` — the streaming-equivalence
-    harness (SURVEY.md §5.2 item 3)."""
+    harness (SURVEY.md §5.2 item 3). ``max_files_per_trigger`` bounds
+    each micro-batch (reference batch=100/5 s, main.go:54-59) and is
+    what the recovery chaos test uses to force a multi-batch replay."""
     sink = sink or MetricsSink(out_dir)
-    lines = stream_lines(spark, source_dir, deploy_env)
+    lines = stream_lines(spark, source_dir, deploy_env, max_files_per_trigger)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sink.process_batch(

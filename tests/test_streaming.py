@@ -527,3 +527,92 @@ def test_dedup_within_watermark_state_is_bounded(spark, tmp_path):
     state = json.loads(q.lastProgress.json)["stateOperators"][0]
     assert 0 < state["numRowsTotal"] < n_events / 5, state["numRowsTotal"]
     assert state["numRowsRemoved"] > 0, "watermark never evicted state"
+
+
+def test_checkpoint_recovery_chaos_exactly_once(spark, tmp_path):
+    """Kill the st05-style replay MID-STREAM and restart from the same
+    checkpoint: the final dd/ parquet must be identical to an
+    uninterrupted run — the recovery-path proof that the batch_id-
+    partition-overwrite idempotence survives a REAL restart, not just
+    an in-run double call (test_metrics_sink_idempotent_replay).
+
+    The crash is injected AFTER the sink fully processed batch 1 but
+    BEFORE the checkpoint commits it, so the restarted query re-runs
+    batch_id=1 against already-written output — the at-least-once
+    replay case. A poisoned stale partition (dd/batch_id=1/tag=zzz,
+    simulating a half-written attempt whose tag the replay no longer
+    produces) must also be gone afterward: dynamic overwrite alone
+    would leave it; the sink deletes the whole batch_id dir first."""
+    import pyspark.errors
+
+    from kinesis_alerts_consumer_spark.streaming.sinks import MetricsSink
+
+    lines = make_lines(40)  # 42 with quarantine/ignore extras
+    for variant in ("plain", "chaos"):
+        src = tmp_path / variant / "src"
+        src.mkdir(parents=True)
+        for i in range(6):
+            (src / f"part-{i}.txt").write_text(
+                "\n".join(lines[i * 7 : (i + 1) * 7]) + "\n"
+            )
+        out = str(tmp_path / variant / "out")
+        ckpt = str(tmp_path / variant / "ckpt")
+
+        if variant == "plain":
+            q = replay_lines(
+                spark, str(src), out, ckpt,
+                deploy_env="test-env", max_files_per_trigger=2,
+            )
+            assert q.awaitTermination(120)
+            continue
+
+        crashed = {"done": False}
+
+        class CrashOnceSink(MetricsSink):
+            def process_batch(self, projected, batch_id=0):
+                super().process_batch(projected, batch_id)
+                if batch_id == 1 and not crashed["done"]:
+                    crashed["done"] = True
+                    raise RuntimeError("injected crash after batch 1")
+
+        q = replay_lines(
+            spark, str(src), out, ckpt, deploy_env="test-env",
+            sink=CrashOnceSink(out), max_files_per_trigger=2,
+        )
+        try:
+            q.awaitTermination(120)
+            raise AssertionError("query should have crashed")
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            pass
+        assert crashed["done"]
+        # plant the stale half-written partition a code change between
+        # attempts could leave behind
+        spark.createDataFrame([("zzz",)], "poison string").withColumn(
+            "batch_id", F.lit(1)
+        ).withColumn("tag", F.lit("zzz")).write.mode("append").partitionBy(
+            "batch_id", "tag"
+        ).parquet(os.path.join(out, "dd"))
+
+        q = replay_lines(
+            spark, str(src), out, ckpt, deploy_env="test-env",
+            sink=MetricsSink(out), max_files_per_trigger=2,
+        )
+        assert q.awaitTermination(120)
+
+    read = lambda v: canon(  # noqa: E731
+        r.asDict(recursive=True)
+        for r in spark.read.parquet(
+            str(tmp_path / v / "out" / "dd")
+        ).select("tag", "metric", "mtype", "tags", "ts", "value").collect()
+    )
+    plain, chaos = read("plain"), read("chaos")
+    assert chaos == plain and len(plain) == 40
+    # the poisoned stale partition must have been wiped by the replay
+    tags = {
+        r.tag for r in spark.read.parquet(
+            str(tmp_path / "chaos" / "out" / "dd")
+        ).select("tag").distinct().collect()
+    }
+    assert "zzz" not in tags
+    quar = spark.read.parquet(str(tmp_path / "chaos" / "out" / "quarantine"))
+    assert quar.count() == 1
