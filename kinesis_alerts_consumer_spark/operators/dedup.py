@@ -62,10 +62,35 @@ def shingles_of(w: Column, n: int) -> Column:
     ).otherwise(F.expr("array()").cast("array<string>"))
 
 
+def shingle_strings(text: Column, n: int) -> Column:
+    """Overlapping word n-gram shingles of a TEXT column as
+    array<string> — one lookahead regex over whitespace-normalized
+    text, entirely inside whole-stage codegen.
+
+    The transform/element_at formulation (:func:`shingles_of`) is a
+    higher-order lambda, which Catalyst executes as CodegenFallback:
+    every shingle of every doc pays interpreted expression dispatch
+    (measured at the r6 sf10 rehearsal: a single core pegged >900 s
+    in regex/eval for 60k docs). Here ``(?<=^| )(?=(\\S+( \\S+)*))``
+    captures each n-token window at token starts only — the
+    lookbehind rejects mid-token positions, the lookahead makes the
+    matches overlap — so the whole shingle set is one vectorizable
+    ``regexp_extract_all``. Identical output to joining consecutive
+    ``split``-tokens with a single space: < n tokens -> empty array,
+    any ``\\s+`` run collapses to one space first.
+    """
+    if n == 1:
+        # clean token extraction (split() would manufacture '' tokens
+        # on leading whitespace — see the property test)
+        return F.regexp_extract_all(text, F.lit(r"(\S+)"), F.lit(1))
+    pattern = "(?<=^| )(?=(\\S+" + " \\S+" * (n - 1) + "))"
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+    return F.regexp_extract_all(norm, F.lit(pattern), F.lit(1))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (empty if < n words).
-    Prefer materializing tokens + :func:`shingles_of` in hot paths."""
-    return shingles_of(_tokens(text), n)
+    """Word n-gram shingles as an array column (empty if < n words)."""
+    return shingle_strings(text, n)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -83,23 +108,32 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = 4, shingle: int = 1
 ) -> DataFrame:
     """Per-doc MinHash signature: column ``mh{j}`` = min over shingles
-    of hash_j(shingle), hash_j(s) = hash60(j || ':' || s)."""
-    out = (
+    of hash_j(shingle), hash_j(s) = hash60(j || ':' || s).
+
+    Computed as explode(shingles) -> per-row hash columns -> groupBy
+    min, NOT as array_min(transform(...)): higher-order lambdas are
+    CodegenFallback, so the transform form evaluates md5+conv
+    INTERPRETED per shingle per hash — measured 140x wall-clock at
+    100x rows (sf10 rehearsal, r6) with one straggler core pegged on
+    NumberConverter. The exploded form keeps the hash inside
+    whole-stage codegen (same device simhash16 uses) and the groupBy
+    ships only (doc_id, 4 longs) after map-side partial min — the
+    explode never hits the wire. explode_outer keeps shingle-less
+    docs as all-null signatures, exactly like array_min(transform)
+    over an empty array."""
+    ex = (
         spread_for_compute(docs)
-        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", shingles_of(F.col("_toks"), shingle).alias("shingles"))
-    )
-
-    # NB: the lambda must take exactly one arg — pyspark's transform
-    # binds a second lambda arg to the array INDEX.
-    def hasher(j: int):
-        return lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
-
-    for j in range(num_hashes):
-        out = out.withColumn(
-            f"mh{j}", F.array_min(F.transform(F.col("shingles"), hasher(j)))
+        .select(
+            "doc_id", shingle_strings(F.col("text"), shingle).alias("shingles")
         )
-    return out.drop("shingles")
+        .select("doc_id", F.explode_outer("shingles").alias("_s"))
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(_hash60(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -173,9 +207,8 @@ def jaccard_pairs(
     shingles, via array_intersect/array_union on deduped arrays.
     """
     sets = spread_for_compute(docs).select(
-        "doc_id", _tokens(F.col("text")).alias("_toks")
-    ).select(
-        "doc_id", F.array_distinct(shingles_of(F.col("_toks"), shingle)).alias("s")
+        "doc_id",
+        F.array_distinct(shingle_strings(F.col("text"), shingle)).alias("s"),
     )
     if candidates is None:
         a = sets.alias("l")
@@ -233,10 +266,8 @@ def containment_pairs(
     multiply/divide/floor — bit-identical cross-engine, no ROUND).
     """
     sets = spread_for_compute(docs).select(
-        "doc_id", _tokens(F.col("text")).alias("_toks")
-    ).select(
         "doc_id",
-        F.array_distinct(shingles_of(F.col("_toks"), shingle)).alias("s"),
+        F.array_distinct(shingle_strings(F.col("text"), shingle)).alias("s"),
     )
     pairs = (
         candidates.join(sets.withColumnRenamed("doc_id", "a"), "a")
@@ -281,18 +312,18 @@ def contamination_scores(
     fewer than ``shingle`` words carry no signal and are dropped.
     """
     bench_sh = (
-        benchmark.select(_tokens(F.col("text")).alias("_toks"))
-        .select(F.explode(shingles_of(F.col("_toks"), shingle)).alias("s"))
+        benchmark.select(
+            F.explode(shingle_strings(F.col("text"), shingle)).alias("s")
+        )
         .distinct()
         .withColumn("bhit", F.lit(1))
     )
     corpus_sh = (
         spread_for_compute(corpus)
-        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
         .select(
             "doc_id",
             F.explode(
-                F.array_distinct(shingles_of(F.col("_toks"), shingle))
+                F.array_distinct(shingle_strings(F.col("text"), shingle))
             ).alias("s"),
         )
     )
@@ -445,33 +476,47 @@ def winnow_fingerprints(
     consecutive k-gram hashes. Guarantees at least one shared
     fingerprint for any common substring of length >= k + w - 1.
 
-    The whole computation is per-row array math (sequence/transform/
-    slice/array_min) — embarrassingly parallel, zero shuffles; the
-    only data movement is the final explode of the distinct
-    fingerprint set. Returns distinct ``(doc_id, fp)`` rows.
+    Physical shape: overlapping char k-grams come from ONE lookahead
+    regex (``(?=(.{k}))`` — normalized text has no line terminators,
+    so ``.`` is total), then posexplode -> codegen md5/conv per gram
+    -> window-min over ``pos`` per doc -> distinct. The previous
+    sequence/transform/slice/array_min form was zero-shuffle but
+    interpreted (higher-order lambdas are CodegenFallback): the r6
+    sf10 rehearsal measured cores pegged in interpreted Substring/
+    NumberConverter eval. One narrow (doc_id, pos, hash) shuffle that
+    partitions evenly by doc_id is the standard Spark trade for
+    keeping the per-char hashing inside whole-stage codegen.
+    Returns distinct ``(doc_id, fp)`` rows.
     """
     nt = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-    # Chained selects keep each array a REAL column: an inlined
-    # expression re-evaluates per lambda element (see shingles_of).
-    # when()-guards avoid sequence(1, 0) == [1, 0] (descending!).
-    out = spread_for_compute(docs).select("doc_id", nt.alias("nt"))
-    grams = F.when(
-        F.length("nt") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length("nt") - (k - 1)),
-            lambda i: _hash60(F.col("nt").substr(i, F.lit(k))),
-        ),
-    ).otherwise(F.expr("array()").cast("array<bigint>"))
-    out = out.select("doc_id", grams.alias("grams"))
-    wins = F.when(
-        F.size("grams") >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size("grams") - (w - 1)),
-            lambda j: F.array_min(F.slice(F.col("grams"), j, F.lit(w))),
-        ),
-    ).otherwise(F.expr("array()").cast("array<bigint>"))
-    return out.select(
-        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    grams = F.regexp_extract_all(
+        F.col("nt"), F.lit(f"(?=(.{{{k}}}))"), F.lit(1)
+    )
+    out = (
+        spread_for_compute(docs)
+        .select("doc_id", nt.alias("nt"))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.posexplode("grams"),
+        )
+        .select(
+            "doc_id", "n_grams", "pos", _hash60(F.col("col")).alias("h")
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        out.withColumn("fp", F.min("h").over(win))
+        # exclude trailing partial windows (old form: j stops at
+        # size - w + 1), then dedup fingerprints per doc
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select("doc_id", "fp")
+        .distinct()
     )
 
 

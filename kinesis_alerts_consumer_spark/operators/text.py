@@ -69,13 +69,12 @@ def ngram_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     size; no per-row O(len²) array scans. Docs shorter than ``n``
     words have no grams and drop out (no signal).
     """
-    from .dedup import shingles_of
+    from .dedup import shingle_strings
 
     grams = (
         spread_for_compute(docs)
-        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
         .select(
-            "doc_id", F.explode(shingles_of(F.col("_toks"), n)).alias("g")
+            "doc_id", F.explode(shingle_strings(F.col("text"), n)).alias("g")
         )
     )
     per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))

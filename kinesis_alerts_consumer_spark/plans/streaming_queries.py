@@ -240,7 +240,16 @@ def q_stream_dedup_within_watermark(
     together (at-least-once sources re-deliver within seconds). The
     replay doubles every record with a +1..5-minute timestamp jitter
     (inside the 2h watermark, so every duplicate IS caught) and the
-    deduped profile must equal the plain batch profile."""
+    deduped profile must equal the plain batch profile.
+
+    Scale posture (both fixed by the r6 sf10 rehearsal, which OOMed an
+    8g heap at 20M doubled records): (1) the state store is pinned to
+    ROCKSDB for this query — HDFSBackedStateStore keeps every
+    in-flight key on-heap, RocksDB keeps them off-heap and spills to
+    disk, which is the production choice whenever state ~ stream
+    volume; (2) the deduped stream lands in a PARQUET sink (scratch
+    dir) and only the 5-row profile is aggregated from it — a memory
+    sink would materialize the whole deduped corpus in the driver."""
     configure(spark)
     doubled = (
         stream_events(spark, sf_dir)
@@ -259,19 +268,37 @@ def q_stream_dedup_within_watermark(
         )
         .drop("_copy")
     )
-    name = "st_" + uuid.uuid4().hex[:12]
-    q = (
-        doubled.withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    import os
+
+    root = _new_scratch(_ST08_DIRS, "st08_dedup_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
+    try:
+        q = (
+            doubled.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     _await(q)
     return (
-        spark.table(name)
+        spark.read.parquet(out)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.count_distinct("event_id").alias("nd"))
         .orderBy("event_type")
@@ -291,12 +318,13 @@ FROM events GROUP BY event_type ORDER BY event_type
 # exit so repeated invocations can't accumulate parquet/checkpoints.
 _ST05_DIRS: list[str] = []
 _ST06_DIRS: list[str] = []
+_ST08_DIRS: list[str] = []
 
 
 def _cleanup_scratch_dirs() -> None:
     import shutil
 
-    for dirs in (_ST05_DIRS, _ST06_DIRS):
+    for dirs in (_ST05_DIRS, _ST06_DIRS, _ST08_DIRS):
         while dirs:
             shutil.rmtree(dirs.pop(), ignore_errors=True)
 

@@ -216,3 +216,39 @@ def test_passage_dedup_invariants(spark, docs):
         assert r.n_blocks == n_blocks[i]
         assert 0 <= r.n_dup_blocks <= r.n_blocks
         assert 0 <= r.kept_tokens <= total_tokens[i]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n.x0é")), max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shingle_regex_matches_python_reference(spark, texts, n):
+    """shingle_strings (codegen lookahead regex) must implement the
+    DOCUMENTED shingle semantics — consecutive n-grams over maximal
+    \\S+ token runs, space-joined — on arbitrary whitespace-mangled
+    unicode text (python str.split() is the executable spec). The old
+    transform/element_at form differed on degenerate text only
+    (split('\\n','\\s+') manufactures empty '' tokens); the regex form
+    drops them, which is also what every oracle fixture contains."""
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators.dedup import shingle_strings
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text", shingle_strings(F.col("text"), n).alias("got")
+    ).collect()
+    for r in rows:
+        toks = r.text.split()
+        want = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        assert r.got == want, (r.text, n, r.got, want)
