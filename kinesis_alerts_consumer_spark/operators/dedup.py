@@ -150,14 +150,27 @@ def lsh_candidate_pairs(
     shuffle key is small and uniform; the cross product never
     materializes. Returns distinct (a, b) with a < b.
 
-    Buckets holding more than ``max_bucket`` docs are dropped before
-    the self-join (same guard as winnowing's ``max_df``,
-    :func:`winnow_near_dup_pairs`): a degenerate band value — e.g.
-    every empty/boilerplate doc sharing one signature — would make the
-    self-join O(bucket²) on a single shuffle key at 100 TB. The cap
-    bounds each bucket's output at max_bucket²/2 pairs; members of an
-    over-cap bucket are near-identical boilerplate better handled by
-    exact dedup. ``None`` disables the cap.
+    Buckets holding more than ``max_bucket`` docs are dropped (same
+    guard as winnowing's ``max_df``, :func:`winnow_near_dup_pairs`): a
+    degenerate band value — e.g. every empty/boilerplate doc sharing
+    one signature — would be O(bucket²) on a single key at 100 TB. The
+    cap bounds each bucket's output at max_bucket²/2 pairs; members of
+    an over-cap bucket are near-identical boilerplate better handled
+    by exact dedup. ``None`` disables the cap.
+
+    Physical shape (r6): ONE aggregation — groupBy(bucket) ->
+    collect_list(doc_id) -> size() cap filter -> explode twice for the
+    per-bucket pair cross product. The previous bucket SELF-JOIN (+
+    broadcast anti-join for the cap) planned the whole signature
+    pipeline once per join side with no exchange reuse across the
+    subtrees — measured at sf10 as signatures computing 2-4x, 108.6 s
+    for the candidate stage; a shuffle_hash hint and a localCheckpoint
+    were both tried and measured (no reuse / slower). The member-list
+    form shuffles the same (bucket, doc_id) bytes exactly once. A
+    single over-cap bucket still materializes its member array on one
+    reducer before the filter drops it (8 bytes/member — a 1M-doc
+    viral bucket is 8 MB, survivable), which is the price of capping
+    without a second aggregation pass.
     """
     k = bands * rows_per_band
     sig = minhash_signatures(docs, num_hashes=k, shingle=shingle)
@@ -172,24 +185,23 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
     )
+    # NOTE (r6 rehearsal): the plan consumes banded 4x (self-join
+    # left/right + the over-cap profile per side) with no exchange
+    # reuse across the broadcast subtrees. A localCheckpoint here was
+    # tried and MEASURED SLOWER at both sf0.1 and sf10 (llm36 1.69 ->
+    # 5.05 s, llm03 141 -> 159 s): the map-side partial min already
+    # dedups the expensive md5 work per consumer, and the checkpoint's
+    # lineage cut defeats scan-side pruning for the cheap replays.
+    buckets = banded.groupBy("bucket").agg(
+        F.collect_list("doc_id").alias("_ids")
+    )
     if max_bucket is not None:
-        # Over-cap buckets number at most n/max_bucket (each holds
-        # >max_bucket members) — a tiny, broadcastable exclusion set;
-        # the complement (kept buckets) is nearly ALL buckets and
-        # would be a full shuffle join.
-        bad = (
-            banded.groupBy("bucket")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_bucket)
-            .select("bucket")
-        )
-        banded = banded.join(F.broadcast(bad), "bucket", "left_anti")
-    left = banded.alias("l")
-    right = banded.alias("r")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     return (
-        left.join(right, on=(F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        buckets.select(F.explode("_ids").alias("a"), "_ids")
+        .select("a", F.explode("_ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
 

@@ -55,6 +55,15 @@ def spread_for_compute(df: DataFrame, min_factor: int = 2) -> DataFrame:
     that is known to be a no-op there. Deployments set
     ``spark.graft.spreadForCompute=off`` to skip probe and shuffle
     entirely (inputs already arrive well-split).
+
+    KNOWN BLIND SPOT (r6 rehearsal): the probe counts SPLITS, but a
+    parquet scan parallelizes only down to row-group granularity — a
+    file with one giant row group yields many byte-range splits of
+    which all but one are empty, so the probe sees "plenty of
+    partitions" while one task does all the work. The durable fix is
+    at WRITE time (bound row_group_size so groups ≤ maxPartitionBytes
+    — scripts/make_scale_data.py does; ingest jobs at scale must
+    too); probing actual row distribution would cost a full pass.
     """
     try:
         if df.sparkSession.conf.get("spark.graft.spreadForCompute", "auto") == "off":

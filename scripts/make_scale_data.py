@@ -97,7 +97,17 @@ def main() -> None:
         tbl = pa.Table.from_pandas(
             big, schema=src_tbl.schema, preserve_index=False
         )
-        pq.write_table(tbl, f"{out_dir}/{name}.parquet")
+        # Realistic row groups (128k rows): pyarrow's 1M-row default
+        # wrote documents as ONE row group, and a Spark scan can only
+        # parallelize down to row-group granularity — every byte-range
+        # split whose midpoint misses the single group reads nothing,
+        # so one task scanned all 500k docs while 29 idled (and
+        # spread_for_compute's partition-count probe was fooled,
+        # because the SPLIT count looked plentiful). Real ingest
+        # pipelines control this at write time; the fixture must too.
+        pq.write_table(
+            tbl, f"{out_dir}/{name}.parquet", row_group_size=131_072
+        )
         print(f"{name}: {src_tbl.num_rows} -> {tbl.num_rows} rows")
 
 
