@@ -189,3 +189,24 @@ def test_bucketed_join_plans_no_join_key_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert not any("custkey" in l for l in exchange_lines), exchange_lines
+
+
+def test_lsh_candidates_single_signature_pass(spark):
+    """lsh_candidate_pairs must plan pair generation as per-bucket
+    member-list aggregation (collect_list -> explode²), NOT a bucket
+    self-join: the join form computed the whole signature pipeline
+    once per join side (no exchange reuse across broadcast subtrees —
+    r6 sf10 finding). One partial_min block = one signature pass."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    docs = register_tables(spark, SF_SMOKE)["documents"]
+    plan = _plan(lsh_candidate_pairs(docs, shingle=3))
+    # exactly ONE partial-min signature aggregation (4 hash columns)
+    assert plan.count("partial_min") == 4, plan.count("partial_min")
+    assert "collect_list" in plan
+    assert "Join" not in plan, [
+        l for l in plan.splitlines() if "Join" in l
+    ]
