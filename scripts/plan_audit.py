@@ -36,11 +36,47 @@ def audit(sf_dir: str) -> list[dict]:
             continue
         try:
             df = fn(spark, sf_dir)
+            # Execute first: under AQE the pre-execution plan carries
+            # neither the final stage layout nor codegen annotations
+            # (CollapseCodegenStages runs per query stage at runtime).
+            # Counting "WholeStageCodegen" in the lazy plan always
+            # reads 0 — the r1-r6 audits' WSCG column was that
+            # artifact. Post-collect, codegen'd operators carry a
+            # `*(N)` prefix in the FINAL plan section (everything
+            # before "== Initial Plan ==").
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception as exc:  # noqa: BLE001 — audit keeps going
             rows.append({"name": name, "error": str(exc)[:80]})
             continue
+        op_lines = [
+            s for s in (ln.strip().lstrip("+-: ") for ln in plan.splitlines())
+            if s and (s[0].isupper() or s.startswith("*("))
+            and not s.startswith(("AdaptiveSparkPlan", "ResultQueryStage",
+                                  "ShuffleQueryStage", "BroadcastQueryStage",
+                                  "AQEShuffleRead", "ReusedExchange",
+                                  "TableCacheQueryStage", "InMemory"))
+        ]
+        n_cg = sum(1 for s in op_lines if s.startswith("*("))
         exch = [l for l in plan.splitlines() if "Exchange" in l]
+        # Classify text-carrying exchanges. A bare text#N in a
+        # hash/range-partitioned exchange means document bodies move on
+        # a SHUFFLE KEY path — real 100 TB cost (dq10's verbatim SQL).
+        # A RoundRobinPartitioning REPARTITION_BY_NUM exchange is
+        # util.spread_for_compute: the small-fixture parallelism
+        # spreader that is a guarded no-op at real scale (inputs arrive
+        # as many splits; deployments set spark.graft.spreadForCompute
+        # =off) — flagged separately so it can't hide a real one.
+        text_keyed = False
+        text_spread = False
+        for l in exch:
+            if "text#" not in l.replace("md5(cast(text#", "md5(cast(col#"):
+                continue
+            if "RoundRobinPartitioning" in l and "REPARTITION_BY_NUM" in l:
+                text_spread = True
+            else:
+                text_keyed = True
         rows.append(
             {
                 "name": name,
@@ -50,14 +86,15 @@ def audit(sf_dir: str) -> list[dict]:
                 + plan.count("BroadcastNestedLoopJoin"),
                 "smj": plan.count("SortMergeJoin"),
                 "wgl": plan.count("WindowGroupLimit"),
-                "wscg": plan.count("WholeStageCodegen"),
+                # codegen'd ops / total ops in the executed final plan
+                "wscg": f"{n_cg}/{len(op_lines)}",
                 # 'text#N' inside the md5(cast(text#N as binary))
                 # expression NAME is the 32-byte digest computed
                 # map-side (llm35) — only a BARE text#N means document
                 # bodies in the shuffle.
-                "text_in_exchange": any(
-                    "text#" in l.replace("md5(cast(text#", "md5(cast(col#")
-                    for l in exch
+                "text_in_exchange": (
+                    "YES" if text_keyed
+                    else ("spread-only" if text_spread else "no")
                 ),
             }
         )
@@ -82,6 +119,20 @@ def main() -> None:
         "plan-asserted text-free in tests/test_plans.py — run llm35's",
         "plan at scale, keep dq10 for SQL portability.",
         "",
+        "WSCG = codegen'd operators / total operators in the EXECUTED",
+        "final AQE plan (`*(N)`-annotated). Interpreted remainders are",
+        "dominated by higher-order-function lambdas (CodegenFallback by",
+        "design in Spark); per-route/per-field arrays are small so the",
+        "interpreted work is bounded per record.",
+        "",
+        "text in exchange: YES = document bodies cross a hash/range",
+        "(key-partitioned) shuffle — real network cost at 100 TB.",
+        "`spread-only` = the only text-carrying exchange is",
+        "util.spread_for_compute's RoundRobinPartitioning spread of a",
+        "single-split LOCAL FIXTURE across cores; it is a guarded no-op",
+        "at real scale (many input splits) and deployments disable the",
+        "probe with spark.graft.spreadForCompute=off.",
+        "",
         "| query | hashEx | rangeEx | broadcast | SMJ | WGL | WSCG | text in exchange |",
         "|---|---|---|---|---|---|---|---|",
     ]
@@ -92,11 +143,11 @@ def main() -> None:
         elif "error" in r:
             lines.append(f"| {r['name']} | ERROR: {r['error']} | | | | | | |")
         else:
-            n_text += r["text_in_exchange"]
+            n_text += r["text_in_exchange"] == "YES"
             lines.append(
                 f"| {r['name']} | {r['hash_ex']} | {r['range_ex']} |"
                 f" {r['bcast']} | {r['smj']} | {r['wgl']} | {r['wscg']} |"
-                f" {'YES' if r['text_in_exchange'] else 'no'} |"
+                f" {r['text_in_exchange']} |"
             )
     with open("/root/repo/PLAN_AUDIT.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
