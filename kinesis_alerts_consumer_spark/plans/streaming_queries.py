@@ -41,6 +41,13 @@ def _await(q, timeout: int = 600) -> None:
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Memory sink — ONLY for aggregates whose result is bounded
+    (st01: hours x event types). An unbounded result through the
+    memory sink dies at scale: every task ships its slice of the
+    aggregate to the driver as task results (the r6 sf10 rehearsal
+    measured st02's session table failing with TaskResultLost at 10M
+    events). Anything whose result grows with the data goes through
+    ``_run_to_scratch`` instead."""
     name = "st_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.format("memory")
@@ -51,6 +58,69 @@ def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
     )
     _await(q)
     return spark.table(name)
+
+
+def _run_to_scratch(
+    df: DataFrame,
+    spark: SparkSession,
+    dirs: list[str],
+    prefix: str,
+    mode: str,
+) -> DataFrame:
+    """Bounded replay whose per-batch results land in a PARQUET
+    scratch dir via ``foreachBatch`` — the executor-side sink shape
+    for results that grow with the data (the memory sink materializes
+    the whole result driver-side; see ``_run_to_memory``).
+
+    complete mode overwrites per batch (the final batch holds the
+    entire aggregate); update mode appends (callers reduce the
+    monotone update rows, e.g. max-per-key)."""
+    import os
+
+    root = _new_scratch(dirs, prefix)
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out)
+
+    q = (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.read.parquet(out)
+
+
+class _rocksdb_state_store:
+    """Pin RocksDBStateStoreProvider for queries whose state grows
+    with the stream (HDFSBackedStateStore keeps every in-flight key
+    on-heap; RocksDB keeps them off-heap and spills to disk — the
+    production choice whenever state ~ stream volume). The conf is
+    read at query START, so the previous value is restored as soon as
+    the ``with`` block (which must contain the ``.start()``) exits."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self) -> None:
+        self._prev = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(
+            self._KEY,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+    def __exit__(self, *exc: object) -> None:
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
 
 
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,10 +138,22 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregate. One session row per (user, gap
+    island): the RESULT grows with the data, so it lands in a parquet
+    scratch via foreachBatch (a memory sink failed the r6 sf10
+    rehearsal with TaskResultLost at 10M events), and session-window
+    state is pinned to RocksDB — complete mode keeps every session in
+    the store."""
     configure(spark)
-    return _run_to_memory(
-        user_sessions(stream_events(spark, sf_dir)), spark
-    ).orderBy("user_id", "session_start")
+    with _rocksdb_state_store(spark):
+        sessions = _run_to_scratch(
+            user_sessions(stream_events(spark, sf_dir)),
+            spark,
+            _ST02_DIRS,
+            "st02_sessions_",
+            "complete",
+        )
+    return sessions.orderBy("user_id", "session_start")
 
 
 SQL_STREAM_SESSIONS = """
@@ -101,20 +183,19 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_totals
 
     configure(spark)
-    name = "st_" + uuid.uuid4().hex[:12]
-    q = (
-        running_user_totals(stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # update rows (one per user per batch) land in a parquet scratch:
+    # they grow with users x batches, which a memory sink would
+    # materialize driver-side (see _run_to_memory).
+    updates = _run_to_scratch(
+        running_user_totals(stream_events(spark, sf_dir)),
+        spark,
+        _ST03_DIRS,
+        "st03_totals_",
+        "update",
     )
-    _await(q)
     # running counts are monotone: the max per user is the final state
     return (
-        spark.table(name)
-        .groupBy("user_id")
+        updates.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
             F.round(F.max("total_value"), 2).alias("total_value"),
@@ -133,7 +214,17 @@ FROM events GROUP BY user_id ORDER BY user_id
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates: the replay injects a duplicate of
     every record (explode x2); the deduped sink must match the plain
-    batch profile."""
+    batch profile.
+
+    Plain ``dropDuplicates`` keeps every key seen FOREVER — the
+    documented unbounded-state contrast to st08's within-watermark
+    variant. The sf10 posture mirrors st08's two fixes: the deduped
+    stream (which grows with the data) lands in a parquet scratch
+    and only the per-type profile is aggregated from it, and the
+    key state is pinned to RocksDB so 10M+ keys live off-heap. The
+    state still grows without bound on an endless stream — that
+    part is the point of the st04-vs-st08 pairing, not a defect to
+    fix here."""
     from pyspark.sql import functions as F
 
     configure(spark)
@@ -142,19 +233,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
         .drop("_copy")
     )
-    name = "st_" + uuid.uuid4().hex[:12]
-    q = (
-        doubled.dropDuplicates(["event_id"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    with _rocksdb_state_store(spark):
+        deduped = _run_to_scratch(
+            doubled.dropDuplicates(["event_id"]).select(
+                "event_id", "event_type"
+            ),
+            spark,
+            _ST04_DIRS,
+            "st04_dedup_",
+            "append",
+        )
     return (
-        spark.table(name)
-        .groupBy("event_type")
+        deduped.groupBy("event_type")
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
@@ -272,14 +362,7 @@ def q_stream_dedup_within_watermark(
 
     root = _new_scratch(_ST08_DIRS, "st08_dedup_")
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         q = (
             doubled.withWatermark("ts", "2 hours")
             .dropDuplicatesWithinWatermark(["event_id"])
@@ -291,11 +374,6 @@ def q_stream_dedup_within_watermark(
             .trigger(availableNow=True)
             .start()
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
     _await(q)
     return (
         spark.read.parquet(out)
@@ -316,6 +394,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 # parquet lazily, so the current one must outlive the call); whatever
 # remains — at most one dir per query — is removed at interpreter
 # exit so repeated invocations can't accumulate parquet/checkpoints.
+_ST02_DIRS: list[str] = []
+_ST03_DIRS: list[str] = []
+_ST04_DIRS: list[str] = []
 _ST05_DIRS: list[str] = []
 _ST06_DIRS: list[str] = []
 _ST08_DIRS: list[str] = []
@@ -324,7 +405,8 @@ _ST08_DIRS: list[str] = []
 def _cleanup_scratch_dirs() -> None:
     import shutil
 
-    for dirs in (_ST05_DIRS, _ST06_DIRS, _ST08_DIRS):
+    for dirs in (_ST02_DIRS, _ST03_DIRS, _ST04_DIRS,
+                 _ST05_DIRS, _ST06_DIRS, _ST08_DIRS):
         while dirs:
             shutil.rmtree(dirs.pop(), ignore_errors=True)
 
