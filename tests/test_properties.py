@@ -221,6 +221,77 @@ def test_passage_dedup_invariants(spark, docs):
 @given(
     texts=st.lists(
         st.text(
+            alphabet=st.sampled_from(list("aB c.0!x\né")), max_size=90
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.sampled_from([2, 4, 8]),
+    w=st.sampled_from([2, 4]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_matches_python_reference(spark, texts, k, w):
+    """winnow_fingerprints (codegen k-gram regex + window-min) must
+    equal the executable MOSS spec (Schleimer et al. §winnowing)
+    computed independently in Python: normalize, hash every char
+    k-gram with md5-prefix-60-bit, keep the min of each window of w
+    k-gram hashes over FULL windows only. Also pins the degenerate
+    edges: a doc whose normalized form has fewer than k+w-1 chars
+    yields no fingerprints (no crash, no partial-window fps)."""
+    import hashlib
+    import re
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    def ref(text: str) -> set[int]:
+        nt = re.sub("[^a-z0-9]", "", text.lower())
+        grams = [nt[i : i + k] for i in range(len(nt) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        return {
+            min(hs[p : p + w]) for p in range(len(grams) - w + 1)
+        }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == ref(t), (t, k, w)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The MOSS guarantee, end to end: any two docs sharing a common
+    normalized substring of length >= k + w - 1 share at least one
+    fingerprint (here k=8, w=4 — the llm14 defaults)."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    common = "the quick brown fox jumps!"  # 21 normalized chars >= 11
+    docs = [
+        (0, "AAA unrelated prefix. " + common + " zz tail one"),
+        (1, "completely different opening __ " + common + " 999"),
+        (2, "no overlap with anybody here at all, none whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps: dict[int, set[int]] = {0: set(), 1: set(), 2: set()}
+    for r in winnow_fingerprints(df, k=8, w=4).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+@given(
+    texts=st.lists(
+        st.text(
             alphabet=st.sampled_from(list("ab \t\n.x0é")), max_size=60
         ),
         min_size=1,
