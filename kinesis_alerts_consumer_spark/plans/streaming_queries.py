@@ -72,25 +72,42 @@ def _run_to_scratch(
     for results that grow with the data (the memory sink materializes
     the whole result driver-side; see ``_run_to_memory``).
 
-    complete mode overwrites per batch (the final batch holds the
-    entire aggregate); update mode appends (callers reduce the
-    monotone update rows, e.g. max-per-key)."""
+    append mode uses the NATIVE parquet streaming sink — exactly-once
+    under micro-batch replay via the sink's file commit log (the st08
+    shape). complete/update (unsupported by the native file sink) go
+    through foreachBatch, each in a replay-idempotent form: complete
+    overwrites per batch (any re-run of the final batch rewrites the
+    same full aggregate), update appends and REQUIRES the caller's
+    reduction over the update rows to absorb duplicates (st03 takes
+    max of monotone running counts, so a replayed batch's re-appended
+    rows change nothing)."""
     import os
 
     root = _new_scratch(dirs, prefix)
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
-    write_mode = "overwrite" if mode == "complete" else "append"
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out)
+    if mode == "append":
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        write_mode = "overwrite" if mode == "complete" else "append"
 
-    q = (
-        df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+        def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode(write_mode).parquet(out)
+
+        q = (
+            df.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     _await(q)
     return spark.read.parquet(out)
 
@@ -358,26 +375,18 @@ def q_stream_dedup_within_watermark(
         )
         .drop("_copy")
     )
-    import os
-
-    root = _new_scratch(_ST08_DIRS, "st08_dedup_")
-    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
     with _rocksdb_state_store(spark):
-        q = (
+        deduped = _run_to_scratch(
             doubled.withWatermark("ts", "2 hours")
             .dropDuplicatesWithinWatermark(["event_id"])
-            .select("event_id", "event_type")
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            .select("event_id", "event_type"),
+            spark,
+            _ST08_DIRS,
+            "st08_dedup_",
+            "append",
         )
-    _await(q)
     return (
-        spark.read.parquet(out)
-        .groupBy("event_type")
+        deduped.groupBy("event_type")
         .agg(F.count("*").alias("n"), F.count_distinct("event_id").alias("nd"))
         .orderBy("event_type")
     )
