@@ -529,6 +529,81 @@ def test_dedup_within_watermark_state_is_bounded(spark, tmp_path):
     assert state["numRowsRemoved"] > 0, "watermark never evicted state"
 
 
+def test_scratch_sinks_multibatch_replay_idempotent(spark, tmp_path):
+    """The _run_to_scratch idempotence arguments, exercised across a
+    REAL multi-batch replay (one file per day, maxFilesPerTrigger=2):
+
+    - complete mode (st02's session topology): every batch OVERWRITES
+      the scratch with the full aggregate, so after ~15 batches the
+      scratch must hold exactly the same sessions as a single-batch
+      replay of the same files — overwrite accumulation can neither
+      drop nor double anything;
+    - update mode (st03's running-totals topology): per-batch update
+      rows APPEND, so a user active on multiple days appears once per
+      such batch (proving true appends happened), and the caller's
+      monotone max must still equal the plain batch aggregate.
+    """
+    from kinesis_alerts_consumer_spark.plans.streaming_queries import (
+        _run_to_scratch,
+    )
+    from kinesis_alerts_consumer_spark.streaming.aggregates import (
+        user_sessions,
+    )
+    from kinesis_alerts_consumer_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream, events = _day_ordered_stream(spark, tmp_path)
+
+    # -- complete mode: multi-batch vs single-batch session tables
+    multi = {
+        (r.user_id, r.session_start, r.n)
+        for r in _run_to_scratch(
+            user_sessions(stream),
+            spark,
+            [],
+            "t_sess_multi_",
+            "complete",
+        ).collect()
+    }
+    single_stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "days")).schema
+        )
+        .parquet(str(tmp_path / "days"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    single = {
+        (r.user_id, r.session_start, r.n)
+        for r in _run_to_scratch(
+            user_sessions(single_stream),
+            spark,
+            [],
+            "t_sess_single_",
+            "complete",
+        ).collect()
+    }
+    assert multi == single and multi
+
+    # -- update mode: appended updates reduce to the batch aggregate
+    updates = _run_to_scratch(
+        running_user_totals(stream), spark, [], "t_tot_multi_", "update"
+    )
+    n_users = events.select("user_id").distinct().count()
+    assert updates.count() > n_users, "no cross-batch update appends"
+    got = {
+        r.user_id: r.n_events
+        for r in updates.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_checkpoint_recovery_chaos_exactly_once(spark, tmp_path):
     """Kill the st05-style replay MID-STREAM and restart from the same
     checkpoint: the final dd/ parquet must be identical to an
