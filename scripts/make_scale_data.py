@@ -82,6 +82,14 @@ def _replica(name: str, df: pd.DataFrame, i: int) -> pd.DataFrame:
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # Optional comma-separated table filter (4th arg): replicate only
+    # the named fact tables at full scale and copy the sf0.1 ORIGINAL
+    # for the rest, so table registration (which eagerly reads every
+    # footer) still works. For a spot-check family that provably only
+    # touches e.g. documents+events, this keeps a 1000x build to
+    # minutes. The mixed-scale dir must only be used for queries bound
+    # to the replicated tables — record which in the rehearsal notes.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
 
     for name in DIM_TABLES:
@@ -91,12 +99,11 @@ def main() -> None:
 
     for name in KEY_COLS:
         src_tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        if only is not None and name not in only:
+            pq.write_table(src_tbl, f"{out_dir}/{name}.parquet")
+            print(f"{name}: {src_tbl.num_rows} rows (stand-in, sf0.1)")
+            continue
         src = src_tbl.to_pandas()
-        parts = [_replica(name, src, i) for i in range(replicas)]
-        big = pd.concat(parts, ignore_index=True)
-        tbl = pa.Table.from_pandas(
-            big, schema=src_tbl.schema, preserve_index=False
-        )
         # Realistic row groups (128k rows): pyarrow's 1M-row default
         # wrote documents as ONE row group, and a Spark scan can only
         # parallelize down to row-group granularity — every byte-range
@@ -105,10 +112,22 @@ def main() -> None:
         # spread_for_compute's partition-count probe was fooled,
         # because the SPLIT count looked plentiful). Real ingest
         # pipelines control this at write time; the fixture must too.
-        pq.write_table(
-            tbl, f"{out_dir}/{name}.parquet", row_group_size=131_072
-        )
-        print(f"{name}: {src_tbl.num_rows} -> {tbl.num_rows} rows")
+        #
+        # Replicas stream through one ParquetWriter (RAM stays at one
+        # replica) — the pd.concat-everything form needs ~100 GB at
+        # 1000 replicas.
+        with pq.ParquetWriter(
+            f"{out_dir}/{name}.parquet", src_tbl.schema
+        ) as writer:
+            for i in range(replicas):
+                chunk = pa.Table.from_pandas(
+                    _replica(name, src, i),
+                    schema=src_tbl.schema,
+                    preserve_index=False,
+                )
+                writer.write_table(chunk, row_group_size=131_072)
+        n = pq.read_metadata(f"{out_dir}/{name}.parquet").num_rows
+        print(f"{name}: {src_tbl.num_rows} -> {n} rows")
 
 
 if __name__ == "__main__":
