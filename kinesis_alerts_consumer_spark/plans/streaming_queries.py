@@ -288,26 +288,32 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     here: 32 partitions 5.7-11 s, 8 partitions 2.4 s, identical 183
     rows). At 100 TB the same knob moves the other way: raise it
     until per-partition state fits executor memory. The conf is
-    scoped to this query's start and restored after."""
+    scoped to this query's start and restored after.
+
+    Scale posture (fixed by the r6 sf100 rehearsal, which OOMed the
+    heap at 100M events): join state is pinned to ROCKSDB — an
+    availableNow whole-corpus replay buffers EVERY in-interval click
+    before the watermark can evict anything, so state ~ stream volume
+    must live off-heap — and the joined pairs (which grow with the
+    data) land in a parquet scratch instead of a memory sink. Post-fix
+    the same replay runs in 322 s (124x at 1000x data); the price at
+    small scale is RocksDB commit overhead (sf10: 5.8 -> 27 s)."""
     configure(spark)
-    name = "st_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            purchase_click_join(stream_events(spark, sf_dir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _rocksdb_state_store(spark):
+            pairs = _run_to_scratch(
+                purchase_click_join(stream_events(spark, sf_dir)),
+                spark,
+                _ST07_DIRS,
+                "st07_pairs_",
+                "append",
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    _await(q)
     return (
-        spark.table(name)
-        .groupBy(F.col("p_user").alias("user_id"))
+        pairs.groupBy(F.col("p_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_pairs"),
             F.countDistinct("p_id").alias("n_purchases"),
@@ -408,14 +414,15 @@ _ST03_DIRS: list[str] = []
 _ST04_DIRS: list[str] = []
 _ST05_DIRS: list[str] = []
 _ST06_DIRS: list[str] = []
+_ST07_DIRS: list[str] = []
 _ST08_DIRS: list[str] = []
 
 
 def _cleanup_scratch_dirs() -> None:
     import shutil
 
-    for dirs in (_ST02_DIRS, _ST03_DIRS, _ST04_DIRS,
-                 _ST05_DIRS, _ST06_DIRS, _ST08_DIRS):
+    for dirs in (_ST02_DIRS, _ST03_DIRS, _ST04_DIRS, _ST05_DIRS,
+                 _ST06_DIRS, _ST07_DIRS, _ST08_DIRS):
         while dirs:
             shutil.rmtree(dirs.pop(), ignore_errors=True)
 
