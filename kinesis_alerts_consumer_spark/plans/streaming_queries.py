@@ -121,23 +121,36 @@ class _rocksdb_state_store:
     the ``with`` block (which must contain the ``.start()``) exits."""
 
     _KEY = "spark.sql.streaming.stateStore.providerClass"
+    # Commit deltas instead of full SST snapshots per micro-batch —
+    # measured 27 -> 22 s on st07's sf10 replay; at real checkpoint
+    # distances (object storage) the gap widens. Safe here: every
+    # scratch query starts from a fresh checkpoint dir, so there is
+    # no cross-format checkpoint to stay compatible with.
+    _CLOG = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
 
     def __init__(self, spark: SparkSession) -> None:
         self._spark = spark
 
     def __enter__(self) -> None:
         self._prev = self._spark.conf.get(self._KEY, None)
+        self._prev_clog = self._spark.conf.get(self._CLOG, None)
         self._spark.conf.set(
             self._KEY,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        self._spark.conf.set(self._CLOG, "true")
 
     def __exit__(self, *exc: object) -> None:
-        if self._prev is None:
-            self._spark.conf.unset(self._KEY)
-        else:
-            self._spark.conf.set(self._KEY, self._prev)
+        for key, prev in ((self._KEY, self._prev),
+                          (self._CLOG, self._prev_clog)):
+            if prev is None:
+                self._spark.conf.unset(key)
+            else:
+                self._spark.conf.set(key, prev)
 
 
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
