@@ -168,22 +168,61 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-window aggregate. One session row per (user, gap
-    island): the RESULT grows with the data, so it lands in a parquet
-    scratch via foreachBatch (a memory sink failed the r6 sf10
-    rehearsal with TaskResultLost at 10M events), and session-window
-    state is pinned to RocksDB — complete mode keeps every session in
-    the store."""
+    """Session-window aggregate in APPEND mode — the production
+    sessionization shape: finalized sessions are EMITTED and their
+    state EVICTED as the watermark passes, so neither state nor any
+    per-batch output ever holds the whole result.
+
+    The r6 rehearsals forced two earlier shapes out: a memory sink
+    died at 10M events (TaskResultLost — the complete-mode aggregate
+    ships driver-side as task results), and complete mode into a
+    parquet scratch died at 100M (heap OOM: complete MATERIALIZES
+    every session per batch even when the sink is executor-side).
+    Append mode needs stream punctuation to flush the tail: a bounded
+    replay's watermark stops short of the last sessions, so the
+    replay unions ONE far-future sentinel event into the source —
+    the watermark (batch max event time − delay) then passes every
+    real session and the final no-data micro-batch (Spark processes
+    event-time state whenever the watermark moves, availableNow
+    included) emits and evicts them. The sentinel's own session stays
+    unfinalized in state and is filtered on read. Sessions land in
+    the native parquet sink (exactly-once via its commit log);
+    session state is pinned to RocksDB. sf100: heap OOM -> runs."""
+    import os
+
+    from ..sources.tables import load_table
+
     configure(spark)
+    root = _new_scratch(_ST02_DIRS, "st02_sessions_")
+    src = os.path.join(root, "src")
+    events = load_table(spark, sf_dir, "events")
+    id_type = dict(zip(events.schema.names,
+                       [f.dataType for f in events.schema.fields]))
+    sentinel = (
+        events.limit(1)
+        .crossJoin(events.agg(F.max("ts").alias("_mx")))
+        .withColumn("ts", F.expr("_mx + INTERVAL 30 DAYS"))
+        .withColumn("event_id", F.lit(-1).cast(id_type["event_id"]))
+        .withColumn("user_id", F.lit(-1).cast(id_type["user_id"]))
+        .drop("_mx")
+    )
+    events.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
     with _rocksdb_state_store(spark):
         sessions = _run_to_scratch(
-            user_sessions(stream_events(spark, sf_dir)),
+            user_sessions(stream),
             spark,
             _ST02_DIRS,
-            "st02_sessions_",
-            "complete",
+            "st02_sessions_out_",
+            "append",
         )
-    return sessions.orderBy("user_id", "session_start")
+    return sessions.filter(F.col("user_id") >= 0).orderBy(
+        "user_id", "session_start"
+    )
 
 
 SQL_STREAM_SESSIONS = """

@@ -53,10 +53,21 @@ def main() -> None:
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     qs = entry_mod.queries()
 
+    def run(name: str, sf_dir: str) -> None:
+        # Materialize via the noop sink: full executor-side execution
+        # with no driver transfer. collect() OOMed the HARNESS (not
+        # the engine) on queries whose RESULT grows with the data —
+        # st02 returns one row per session, ~30M rows at sf100.
+        # For small results the delta vs collect() is noise; the agg
+        # expressions are NOT pruned (unlike .count(), see
+        # BASELINE.md r6 notes).
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
     def timed(name: str, sf_dir: str) -> float:
-        qs[name](spark, sf_dir).collect()  # warm: compile + pools
+        run(name, sf_dir)  # warm: compile + pools
         t0 = time.monotonic()
-        qs[name](spark, sf_dir).collect()
+        run(name, sf_dir)
         return time.monotonic() - t0
 
     rows = []
