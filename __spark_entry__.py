@@ -50,6 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 3 re-validations of entries whose code changed this round:
 #     st07 (floor-cents), llm33 (overflow-safe double cast), vol03
 #     (hash-salt instead of seeded rand).
+#
+# ROUND-7 PLAN (write _R7_WINDOW at r7 start): the rotation invariant
+# forces the 45 keys NOT in _R6_WINDOW — last green r5 — into the r7
+# window: dq03-dq31, kv01, kv06, vol01, vol04, st05, st06, st08,
+# llm24, llm26-llm32, llm34. That fills 45 of 48 slots, leaving room
+# for at most 3 new-or-changed oracle-backed entries in r7.
 _R6_WINDOW = frozenset(
     ["dq01_filter_project", "dq02_join_agg"]
     + ["ext01_asof_join", "ext02_range_join", "ext03_pivot",
