@@ -550,24 +550,38 @@ def winnow_near_dup_pairs(
 
     ``overlap`` = |shared rare fps| / min(|rare fps a|, |rare fps b|),
     computed over the filtered sets on both sides.
+
+    Physical shape (r7): ONE aggregation over the fingerprint stream —
+    groupBy(fp) -> collect_list(doc_id) -> size() <= max_df (the rare
+    filter IS the bucket cap: ``fps`` is distinct per (doc_id, fp), so
+    the member-list size equals the old COUNT(*) df) — then both
+    consumers (per-doc rare-fp counts and the per-bucket pair cross
+    product) read the SAME Exchange(fp): the expensive lookahead-regex
+    / md5 / window-min pipeline is planned under one reused exchange
+    instead of once per self-join side. The r6 form (groupBy-df rare
+    set + fp self-join + two count joins) planned the fingerprint
+    pipeline 4x with no exchange reuse — measured 5.08 s at sf0.1
+    (the suite's slowest query, VERDICT r6 item 3); this is the same
+    member-list device lsh_candidate_pairs adopted in r6, with the
+    same bounded-bucket skew story (<= max_df^2/2 pairs per
+    fingerprint, one over-cap array per reducer before the filter).
     """
     fps = winnow_fingerprints(docs, k=k, w=w)
-    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= max_df
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") <= max_df)
     )
-    fps = fps.join(rare.select("fp"), "fp")
-    nfp = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
-    left = fps.alias("l")
-    right = fps.alias("r")
+    nfp = (
+        buckets.select(F.explode("_ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.fp") == F.col("r.fp"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(
-            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
-        )
+        buckets.select(F.explode("_ids").alias("a"), "_ids")
+        .select("a", F.explode("_ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
         .agg(F.count("*").alias("shared"))
     )
     na = nfp.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")

@@ -713,6 +713,79 @@ FROM x GROUP BY metric, tags ORDER BY metric, mtype, tags
 """
 
 
+# --------------- kv07: notifications output type (kvconfig.yml:12-20)
+
+
+def _kv07_lines(events: DataFrame) -> DataFrame:
+    """Self-instrumentation bodies for the notifications route: title
+    cycles failed-sending-volumes (matches) / stats / heartbeat; the
+    matching third carries an ``error`` field ``timeout-<id%5>``
+    except every 15th id, which omits it (pins the missing-field ->
+    empty-string interpolation seam)."""
+    events = spread_for_compute(events)
+    eid = F.col("event_id")
+    title = (
+        F.when(eid % 3 == 0, F.lit("failed-sending-volumes"))
+        .when(eid % 3 == 1, F.lit("stats"))
+        .otherwise(F.lit("heartbeat"))
+    )
+    err = F.when(eid % 15 != 0, F.concat(F.lit("timeout-"), _s(eid % 5)))
+    body = F.to_json(
+        F.struct(
+            title.alias("title"),
+            err.alias("error"),
+            F.col("value").alias("value"),
+        )
+    )
+    header = _header(
+        F.col("ts"),
+        F.concat(F.lit("host"), _s(eid % 7)),
+        F.concat(F.lit("prod--app"), _s(F.col("user_id") % 4), F.lit("/arn")),
+    )
+    return events.select(F.concat(header, body).alias("value"))
+
+
+def q_kayvee_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kvconfig `notifications` output (kvconfig.yml:14-20): matcher ->
+    (channel, icon, user, message) rows with `%{error}` interpolated
+    from the record — the notification sink-table projection, rolled
+    up per distinct message for the oracle compare."""
+    from ..functions.kayvee import parse_lines
+    from ..operators.fields import with_typed_fields
+    from ..operators.routing import with_mongo_fields
+    from ..operators.rules import SELF_NOTIFICATION_RULES, notification_rows
+
+    t = _tables(spark, sf_dir)
+    rows = notification_rows(
+        with_typed_fields(
+            with_mongo_fields(
+                parse_lines(_kv07_lines(t["events"]), "value", "production")
+            )
+        ),
+        SELF_NOTIFICATION_RULES,
+    )
+    return (
+        rows.groupBy("rule", "channel", "icon", "user", "message")
+        .agg(F.count("*").alias("n"))
+        .orderBy("message")
+    )
+
+
+SQL_KAYVEE_NOTIFICATIONS = """
+WITH x AS (
+  SELECT CASE WHEN event_id % 15 = 0 THEN ''
+              ELSE 'timeout-' || (event_id % 5) END AS err
+  FROM events WHERE event_id % 3 = 0)
+SELECT 'log-volume-send-failure' AS rule,
+       '#eng-infra-alerts-minor' AS channel,
+       ':signalfx:' AS icon,
+       'kinesis-alerts-consumer' AS "user",
+       'Error sending log volumes: ```' || err || '```' AS message,
+       COUNT(*) AS n
+FROM x GROUP BY message ORDER BY message
+"""
+
+
 KAYVEE_QUERIES: dict[str, tuple] = {
     "kv01_route_project": (q_kayvee_route_project, SQL_KAYVEE_ROUTE_PROJECT),
     "kv02_mongo_rule": (q_kayvee_mongo_rule, SQL_KAYVEE_MONGO_RULE),
@@ -723,6 +796,7 @@ KAYVEE_QUERIES: dict[str, tuple] = {
     "vol03_hot_key_rollup": (q_hot_key_log_volume, SQL_HOT_KEY_LOG_VOLUME),
     "vol04_hot_key_join": (q_hot_key_join, SQL_HOT_KEY_JOIN),
     "kv05_config_rules": (q_kayvee_config_rules, SQL_KAYVEE_CONFIG_RULES),
+    "kv07_notifications": (q_kayvee_notifications, SQL_KAYVEE_NOTIFICATIONS),
     "kv06_multiroute_regions": (
         q_kayvee_multiroute_regions,
         SQL_KAYVEE_MULTIROUTE_REGIONS,
