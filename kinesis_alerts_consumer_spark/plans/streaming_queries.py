@@ -24,6 +24,7 @@ from ..session import configure
 from ..streaming.aggregates import (
     hourly_type_rollup,
     purchase_click_join,
+    state_partitions_for,
     stream_events,
     user_sessions,
 )
@@ -332,15 +333,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence theorem for the join-state machinery (buffer, evict,
     co-partition) rather than the aggregation state st01/st02 cover.
 
-    State partitioning is sized to STATE VOLUME, not the session's
-    batch shuffle default: a stream-stream join runs four state
-    stores per partition per side, and each store pays a commit per
-    micro-batch, so partition count — fixed for the query's lifetime
-    at first start — is the dominant cost at small state (measured
-    here: 32 partitions 5.7-11 s, 8 partitions 2.4 s, identical 183
-    rows). At 100 TB the same knob moves the other way: raise it
-    until per-partition state fits executor memory. The conf is
-    scoped to this query's start and restored after.
+    State partitioning is sized to STATE VOLUME via
+    :func:`..streaming.aggregates.state_partitions_for`, not the
+    session's batch shuffle default: a stream-stream join runs four
+    state stores per partition per side, and each store pays a commit
+    per micro-batch, so at small state partition count — fixed for
+    the query's lifetime at first start — is the dominant cost
+    (measured here: 32 partitions 5.7-11 s, 8 partitions 2.4 s,
+    identical 183 rows), while at large state the knob moves the
+    other way: raise it until per-partition state fits executor
+    memory (measured at sf100/100M events: 8 partitions 322 s =
+    124.4x, sized 30 partitions 115.8 s = 29.9x — BASELINE.md round-7
+    notes). The conf is scoped to this query's start and restored
+    after.
 
     Scale posture (fixed by the r6 sf100 rehearsal, which OOMed the
     heap at 100M events): join state is pinned to ROCKSDB — an
@@ -352,7 +357,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     small scale is RocksDB commit overhead (sf10: 5.8 -> 27 s)."""
     configure(spark)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    n_state = state_partitions_for(spark, sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
         with _rocksdb_state_store(spark):
             pairs = _run_to_scratch(

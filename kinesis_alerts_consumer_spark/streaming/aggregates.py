@@ -113,6 +113,49 @@ def purchase_click_join(events: DataFrame,
     )
 
 
+def state_partitions_for(spark: SparkSession, sf_dir: str,
+                         table: str = "events",
+                         target_bytes: int = 64 << 20,
+                         floor: int = 8) -> int:
+    """Size shuffle partitions — which fix the STATE STORE partition
+    count for a stateful query's whole lifetime at first start — to
+    the state volume, not the session's batch shuffle default.
+
+    Two regimes, measured on st07 (stream-stream join, 4 state stores
+    per partition per side, one commit each per micro-batch):
+
+    - small state: partition COUNT dominates (commit overhead per
+      store per batch) — 32 partitions 5.7-11 s vs 8 partitions
+      2.4 s at sf0.1, identical rows. Hence the ``floor`` of 8.
+    - large state: per-partition state SIZE dominates (RocksDB
+      memtable flush/compaction, and on-heap provider OOM) — raise
+      the count until each partition's state fits executor memory.
+
+    An availableNow whole-corpus replay buffers everything before the
+    watermark can evict, so worst-case join state ~ source bytes; one
+    partition per ``target_bytes`` of source parquet approximates
+    "per-partition state fits in memory" with compressed-parquet ×
+    in-memory-inflation roughly cancelling the eviction Spark does
+    manage between batches. Capped at the session shuffle default so
+    a misconfigured huge source never explodes the task count — at
+    real scale operators raise ``spark.sql.shuffle.partitions``
+    cluster-wide and this cap rises with it.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dns, fns in os.walk(path) for f in fns
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return floor
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(floor, min(max(cap, floor), nbytes // target_bytes))
+
+
 def user_sessions(events: DataFrame, gap: str = "30 minutes",
                   watermark: str = "2 hours") -> DataFrame:
     """DQ9 as a streaming session-window aggregate: one row per
