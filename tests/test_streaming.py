@@ -710,3 +710,34 @@ def test_st05_st06_oracle_twin_smoke(spark, duck):
     for name in ("st05_stream_kayvee_pipeline", "st06_stream_volume_rollup"):
         fn, oracle = STREAMING_QUERIES[name]
         assert_frames_match(fn(spark, SF_SMOKE), duck, oracle, name=name)
+
+
+def test_state_partitions_sized_to_source_volume(spark, tmp_path):
+    """state_partitions_for: floor of 8 at small state (per-store
+    commit overhead dominates), scales ~1 partition per 64 MB of
+    source bytes at large state, capped at the session shuffle
+    default so a huge source can't explode the task count (the cap
+    rises with cluster-wide spark.sql.shuffle.partitions at scale)."""
+    from kinesis_alerts_consumer_spark.streaming.aggregates import (
+        state_partitions_for,
+    )
+
+    # real fixture dirs: every testdata sf resolves to the floor
+    assert state_partitions_for(spark, "/root/testdata/sf0.001") == 8
+    assert state_partitions_for(spark, "/root/testdata/sf0.1") == 8
+
+    # synthetic large source: 640 MB -> 10 partitions (under the cap)
+    big = tmp_path / "events.parquet"
+    with open(big, "wb") as f:
+        f.truncate(640 << 20)  # sparse — no real disk cost
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    got = state_partitions_for(spark, str(tmp_path))
+    assert got == min(max(cap, 8), 10)
+
+    # beyond the cap: clamped to the session shuffle default
+    with open(big, "wb") as f:
+        f.truncate((64 << 20) * (cap + 50))
+    assert state_partitions_for(spark, str(tmp_path)) == max(cap, 8)
+
+    # missing source: floor, never an exception
+    assert state_partitions_for(spark, str(tmp_path / "nope")) == 8
