@@ -97,15 +97,21 @@ def parse_lines(
     )
     body = F.substring(tok4, F.lit(1), F.length(tok4) - term_cut)
 
+    def gated(col: Column) -> Column:
+        # regexp_extract conventions: '' on a non-null no-match line,
+        # NULL on a NULL line (ok is NULL there, so the first branch
+        # doesn't fire and the isNotNull arm decides).
+        return F.when(ok, col).when(line.isNotNull(), F.lit(""))
+
     df = df.select(
         line.alias("_raw"),
         ok.alias("line_ok"),
-        F.when(ok, F.try_element_at(p, F.lit(1))).otherwise("").alias("_ts_raw"),
-        F.when(ok, F.try_element_at(p, F.lit(2))).otherwise("").alias("hostname"),
-        F.when(ok, F.substring_index(F.try_element_at(p, F.lit(3)), "[", 1))
-        .otherwise("")
-        .alias("programname"),
-        F.when(ok, body).otherwise("").alias("body"),
+        gated(F.try_element_at(p, F.lit(1))).alias("_ts_raw"),
+        gated(F.try_element_at(p, F.lit(2))).alias("hostname"),
+        gated(
+            F.substring_index(F.try_element_at(p, F.lit(3)), "[", 1)
+        ).alias("programname"),
+        gated(body).alias("body"),
         F.octet_length(line).alias("num_bytes"),
     )
 

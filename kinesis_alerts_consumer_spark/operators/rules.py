@@ -37,6 +37,18 @@ from .fields import field_str
 from .routing import ALERT_ROUTE, _route
 
 
+def matcher_condition(matchers: Mapping[str, Sequence[str]]) -> Column:
+    """Shared kvconfig matcher semantics (kvconfig.yml matchers block):
+    every named field must be string-typed AND one of the allowed
+    values. Used by both alert routes and notification rules so the
+    two output types can never drift apart."""
+    cond = F.lit(True)
+    for fname, allowed in sorted(matchers.items()):
+        f = field_str(fname)
+        cond = cond & f.isNotNull() & f.isin(*[str(v) for v in allowed])
+    return cond
+
+
 @dataclass(frozen=True)
 class RuleSpec:
     """One declarative routing rule (kvconfig.yml route analogue)."""
@@ -49,11 +61,7 @@ class RuleSpec:
     value_field: str | None = None
 
     def condition(self) -> Column:
-        cond = F.lit(True)
-        for fname, allowed in sorted(self.matchers.items()):
-            f = field_str(fname)
-            cond = cond & f.isNotNull() & f.isin(*[str(v) for v in allowed])
-        return cond
+        return matcher_condition(self.matchers)
 
     def route(self) -> Column:
         return _route(
@@ -115,11 +123,7 @@ class NotificationRuleSpec:
     icon: str = ":ghost:"
 
     def condition(self) -> Column:
-        cond = F.lit(True)
-        for fname, allowed in sorted(self.matchers.items()):
-            f = field_str(fname)
-            cond = cond & f.isNotNull() & f.isin(*[str(v) for v in allowed])
-        return cond
+        return matcher_condition(self.matchers)
 
     def message_col(self) -> Column:
         parts: list[Column] = []

@@ -151,7 +151,13 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
         else:
             nbytes = os.path.getsize(path)
     except OSError:
-        return floor
+        # Unsizable source (remote URI, permission error): fall back
+        # UP to the session shuffle default, not down to the floor —
+        # the floor recreates the under-partitioned large-state regime
+        # this function exists to avoid, and the session default is
+        # the cluster-sized knob operators already raise at scale.
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(cap, floor)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return max(floor, min(max(cap, floor), nbytes // target_bytes))
 

@@ -38,6 +38,8 @@ _tricky = st.sampled_from(
     list(" \t[]:/-8a") + ["\n", "\r", "\u0085", "\u2028", "\u2029"]
 )
 _line = st.one_of(
+    # NULL lines: regexp_extract(NULL) yields NULL, not ''.
+    st.none(),
     # Fully arbitrary short strings over the tricky alphabet.
     st.text(alphabet=_tricky, max_size=24),
     # Near-valid shapes: header-ish prefix + arbitrary body + optional
@@ -76,28 +78,33 @@ def _regex_twin(df):
     )
 
 
-def _assert_equivalent(spark, lines: list[str]) -> None:
+def _assert_equivalent(spark, lines: list[str | None]) -> None:
     df = spark.createDataFrame([(s,) for s in lines], "value string")
+    # _ts_raw is dropped by parse_lines, so its equivalence is checked
+    # through the downstream `timestamp` twin (try_cast of group 1).
     got = {
         r["_raw"]: (
             r["line_ok"],
             r["hostname"],
             r["programname"],
             r["body"],
+            r["timestamp"],
         )
         for r in parse_lines(df)
-        .select("_raw", "line_ok", "hostname", "programname", "body")
+        .select("_raw", "line_ok", "hostname", "programname", "body",
+                "timestamp")
         .collect()
     }
-    want_rows = _regex_twin(df).collect()
+    want_rows = _regex_twin(df).withColumn(
+        "timestamp", F.expr("try_cast(_ts_raw as timestamp)")
+    ).collect()
     for r in want_rows:
-        want = (r["line_ok"], r["hostname"], r["programname"], r["body"])
+        want = (r["line_ok"], r["hostname"], r["programname"], r["body"],
+                r["timestamp"])
         assert got[r["value"]] == want, (
             f"split-parse diverges from regex-parse on {r['value']!r}: "
             f"got {got[r['value']]}, want {want}"
         )
-        # _ts_raw is dropped by parse_lines; check its downstream twin
-        # separately below (timestamp try_cast covers it for valid ts).
 
 
 @given(lines=st.lists(_line, min_size=1, max_size=64, unique=True))
@@ -124,6 +131,7 @@ def test_header_parse_equivalence_pinned_edges(spark):
         "t\th p[1]: x",  # tab where regex wants a literal space
         "a b",  # too few tokens
         "",  # empty line
+        None,  # NULL line: header fields stay NULL (regexp_extract(NULL))
         "2017-08-15T18:39:07+00:00 ip-10-0-0-1 prod--app/arn%3A[9]: {}",
     ]
     _assert_equivalent(spark, lines)

@@ -739,5 +739,10 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
         f.truncate((64 << 20) * (cap + 50))
     assert state_partitions_for(spark, str(tmp_path)) == max(cap, 8)
 
-    # missing source: floor, never an exception
-    assert state_partitions_for(spark, str(tmp_path / "nope")) == 8
+    # unsizable source (missing path / remote URI / permission error):
+    # fall UP to the session shuffle default, never an exception — the
+    # floor would recreate the under-partitioned large-state regime,
+    # and the session default is the knob operators size to the
+    # cluster, so an unsizable-but-huge source stays safe.
+    assert state_partitions_for(spark, str(tmp_path / "nope")) == max(cap, 8)
+    assert state_partitions_for(spark, "s3://no-such-bucket/sf") == max(cap, 8)
