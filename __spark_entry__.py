@@ -53,6 +53,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything green in r6 (dq01/02, ext01-04, ext07, kv02-05,
 # llm01-13, llm15-23, llm25, llm33, llm35, llm36, mm01-03, st01-04,
 # vol02, vol03) rotates out.
+#
+# ROUND-8 PLAN (write _R8_WINDOW from this at the start of r8): the
+# 46 keys last green in r6 — exactly the ones listed in the
+# paragraph above — fill 46 of the 48 oracle slots, leaving 2 free
+# slots for (new entry | changed-code re-validation). Keep ext06
+# then ext05 pinned at positions 49-50. Any r8 code change to a
+# helper shared with out-of-window entries needs either a window
+# slot or an in-session full-surface oracle verify (the r7 parse
+# precedent).
 _R7_WINDOW = frozenset(
     ["dq%02d_%s" % (i, s) for i, s in enumerate(
         ["window_topk", "rollup", "regex_extract", "tumbling_agg",
