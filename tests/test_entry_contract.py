@@ -30,32 +30,33 @@ def test_query_count_and_oracle_coverage():
 def test_driver_window_priority():
     names = list(entry.queries())
     window = set(names[:50])
-    # round-7 rotation: the window IS the explicit _R7_WINDOW set —
-    # the 45 entries whose last green row is r5 (the r6 verdict's
-    # hard rotation deadline, st08's re-validation gap among them),
-    # the 1 new entry (kv07) and the 2 changed-this-round
-    # re-validations (llm14/st07).
-    assert entry._R7_WINDOW <= window, sorted(entry._R7_WINDOW - window)
-    assert len(entry._R7_WINDOW) == 48
-    # the 45 mandatory last-green-in-r5 keys individually
-    for must in (["dq%02d" % i for i in range(3, 32)]
-                 + ["kv01_route_project", "kv06_multiroute_regions",
-                    "vol01_log_volume", "vol04_hot_key_join",
-                    "st05_stream_kayvee_pipeline",
-                    "st06_stream_volume_rollup",
-                    "st08_stream_dedup_within_wm",
-                    "llm24_ann_cosine_topk_pq", "llm26_source_caps",
-                    "llm27_semantic_dedup", "llm28_passage_dedup",
-                    "llm29_knn_classify", "llm30_label_centroids",
-                    "llm31_curation_pipeline", "llm32_length_outliers",
-                    "llm34_random_projection"]):
+    # round-8 rotation: the window IS the explicit _R8_WINDOW set —
+    # the 46 entries whose last green row is r6 (the r7 verdict's
+    # mandatory rotation list), plus kv01/st05 as changed-code
+    # re-validations (both ride the routing.py mongo-guard change).
+    assert entry._R8_WINDOW <= window, sorted(entry._R8_WINDOW - window)
+    assert len(entry._R8_WINDOW) == 48
+    # the 46 mandatory last-green-in-r6 keys individually (family
+    # spot-pins; the full list is the _R8_WINDOW literal itself)
+    for must in (["dq01", "dq02", "ext01", "ext02", "ext03", "ext04",
+                  "ext07", "kv02", "kv03", "kv04", "kv05"]
+                 + ["llm%02d" % i for i in range(1, 14)]
+                 + ["llm%02d" % i for i in range(15, 24)]
+                 + ["llm25", "llm33", "llm35", "llm36",
+                    "mm01", "mm02", "mm03",
+                    "st01", "st02", "st03", "st04",
+                    "vol02", "vol03",
+                    # changed-code re-validation slots (routing.py
+                    # mongo-guard riders out of the r6 list)
+                    "kv01_route_project",
+                    "st05_stream_kayvee_pipeline"]):
         hit = [n for n in window if n.startswith(must)]
-        assert hit, f"{must} must be inside the r7 window"
-    # everything green in r6 must NOT consume window slots (spot-pin
-    # the families; llm14/st07 are deliberate re-validations)
-    for out in ("dq01", "dq02", "ext01", "ext07", "kv02", "kv05",
-                "llm01", "llm13", "llm15", "llm25", "llm33", "llm35",
-                "llm36", "mm01", "st01", "st04", "vol02", "vol03"):
+        assert hit, f"{must} must be inside the r8 window"
+    # everything green in r7 must NOT consume window slots (spot-pin
+    # the families; kv01/st05 are deliberate re-validations)
+    for out in ("dq03", "dq17", "dq31", "kv06", "kv07", "llm14",
+                "llm24", "llm26", "llm32", "llm34", "st06", "st07",
+                "st08", "vol01", "vol04"):
         hit = [n for n in window if n.startswith(out)]
         assert not hit, f"{out} should be outside the window: {hit}"
     # no-oracle entries last inside the window, fewest-rows ext06 first
