@@ -182,6 +182,22 @@ def _rds_slow_query_routes_sql() -> str:
     return f"CASE WHEN {cond} THEN array({route}) ELSE {_EMPTY_ROUTES} END"
 
 
+# Cheap codegen pre-filter for MONGO_SLOW_RE, mirroring the early-exit
+# the reference gets from its rule ordering (global_routes.go:88-109):
+# the pattern is anchored `^\[conn...` and contains a literal `ms`, so
+# any regex match implies startswith('[conn') AND contains('ms') —
+# gating the regex behind the guard is a pure short-circuit (proved
+# for arbitrary inputs by tests/test_mongo_guard_equivalence.py).
+# Non-mongo rawlogs (the overwhelming majority at 100 TB) never enter
+# the regex engine: two substring probes vs a full RE2-equivalent scan.
+_MONGO_GUARD_SQL = "(startswith(rawlog, '[conn') AND contains(rawlog, 'ms'))"
+
+
+def _mongo_guard() -> Column:
+    """Column twin of ``_MONGO_GUARD_SQL``."""
+    return F.col("rawlog").startswith("[conn") & F.col("rawlog").contains("ms")
+
+
 def _mongo_slow_query_routes_sql() -> str:
     """global_routes.go:88-136 — the route array only; the derived
     record fields are added by :func:`with_mongo_fields`."""
@@ -196,7 +212,8 @@ def _mongo_slow_query_routes_sql() -> str:
         "global-mongo-slow-query-gauge",
     )
     return (
-        f"CASE WHEN rawlog RLIKE '{pat}' THEN array({counter}, {gauge}) "
+        f"CASE WHEN {_MONGO_GUARD_SQL} AND rawlog RLIKE '{pat}' "
+        f"THEN array({counter}, {gauge}) "
         f"ELSE {_EMPTY_ROUTES} END"
     )
 
@@ -218,7 +235,9 @@ def mongo_slow_query_routes() -> Column:
 
 
 def _mongo_field_exprs() -> dict[str, Column]:
-    matched = F.col("rawlog").rlike(MONGO_SLOW_RE)
+    # guard first: CaseWhen/And short-circuit in codegen, so the regex
+    # (and the extracts behind `matched`) never run on non-mongo lines
+    matched = _mongo_guard() & F.col("rawlog").rlike(MONGO_SLOW_RE)
     return {
         "operation": F.when(
             matched, F.regexp_extract(F.col("rawlog"), MONGO_SLOW_RE, 1)
