@@ -142,24 +142,44 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
     cluster-wide and this cap rises with it.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nbytes = _source_bytes(spark, path)
+    if nbytes is None:
+        # Unsizable source (missing path, permission error, no
+        # filesystem impl for the scheme): fall back UP to the session
+        # shuffle default, not down to the floor — the floor recreates
+        # the under-partitioned large-state regime this function exists
+        # to avoid, and the session default is the cluster-sized knob
+        # operators already raise at scale.
+        return max(cap, floor)
+    return max(floor, min(max(cap, floor), nbytes // target_bytes))
+
+
+def _source_bytes(spark: SparkSession, path: str) -> int | None:
+    """Total bytes under ``path``, or None if unsizable.
+
+    Local paths go through ``os.path`` (no JVM round-trip); everything
+    else — s3://, hdfs://, any scheme with a Hadoop filesystem impl on
+    the classpath — through ``FileSystem.getContentSummary``, so the
+    volume-based state sizing engages on remote sources too (the
+    large-state regime it was written for lives on exactly those).
+    """
     try:
         if os.path.isdir(path):
-            nbytes = sum(
+            return sum(
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _dns, fns in os.walk(path) for f in fns
             )
-        else:
-            nbytes = os.path.getsize(path)
+        return os.path.getsize(path)
     except OSError:
-        # Unsizable source (remote URI, permission error): fall back
-        # UP to the session shuffle default, not down to the floor —
-        # the floor recreates the under-partitioned large-state regime
-        # this function exists to avoid, and the session default is
-        # the cluster-sized knob operators already raise at scale.
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        return max(cap, floor)
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(floor, min(max(cap, floor), nbytes // target_bytes))
+        pass
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(hpath).getLength())
+    except Exception:  # py4j wraps IOE/ClassNotFound/UnsupportedFS
+        return None
 
 
 def user_sessions(events: DataFrame, gap: str = "30 minutes",

@@ -24,7 +24,7 @@ from kinesis_alerts_consumer_spark.streaming.aggregates import (
 )
 from kinesis_alerts_consumer_spark.streaming.pipeline import replay_lines
 
-from .conftest import SF_SMOKE
+from .conftest import SF_BENCH, SF_SMOKE
 
 H = "2017-08-15T18:39:07.000000+00:00 host{i} prod--app{i}/arn[1]: "
 
@@ -723,8 +723,8 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
     )
 
     # real fixture dirs: every testdata sf resolves to the floor
-    assert state_partitions_for(spark, "/root/testdata/sf0.001") == 8
-    assert state_partitions_for(spark, "/root/testdata/sf0.1") == 8
+    assert state_partitions_for(spark, SF_SMOKE) == 8
+    assert state_partitions_for(spark, SF_BENCH) == 8
 
     # synthetic large source: 640 MB -> 10 partitions (under the cap)
     big = tmp_path / "events.parquet"
@@ -733,6 +733,11 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     got = state_partitions_for(spark, str(tmp_path))
     assert got == min(max(cap, 8), 10)
+
+    # non-local URI with a filesystem impl on the classpath (file://
+    # stands in for s3://, hdfs://): os.path can't size it, the Hadoop
+    # FileSystem fallback must — same answer as the local-path walk
+    assert state_partitions_for(spark, "file://" + str(tmp_path)) == got
 
     # beyond the cap: clamped to the session shuffle default
     with open(big, "wb") as f:
