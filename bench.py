@@ -18,6 +18,20 @@ import sys
 import time
 
 
+def suite_families(names) -> list[list[str]]:
+    """Execution grouping: all batch queries first, the Structured
+    Streaming st* family strictly last. Every st execution leaves JVM
+    residue (cached RocksDB state-store providers, state/scratch
+    shuffle files) that inflated later batch queries up to 10x
+    in-suite (vol04 11.07 s in the r7 artifact vs ~1.1 s isolated),
+    so no batch timing may run in a JVM that has executed a streaming
+    query. The contract test pins this split."""
+    return [
+        sorted(n for n in names if not n.startswith("st")),
+        sorted(n for n in names if n.startswith("st")),
+    ]
+
+
 def build_bench_line(timings: dict[str, float], sf: str) -> str:
     """The canonical stdout JSON line. The driver records only the
     LAST ~2000 chars of stdout and json-parses the final line; full
@@ -117,15 +131,8 @@ def main() -> None:
     # 100 TB, so steady state is the number that scales; the protocol
     # is declared in the output line ("warmup": "all@sf").
     #
-    # Family isolation: warm-up + timing run PER FAMILY — all batch
-    # queries first, the Structured Streaming st* family strictly
-    # last. Every st execution (warm-up included) leaves JVM residue
-    # (cached RocksDB state-store providers holding native memory,
-    # state/scratch shuffle files) that inflated alphabetically-later
-    # batch queries up to 10x in-suite (vol04 11.07 s in the r7
-    # artifact vs ~1.1 s isolated — host-independent, reproduced both
-    # trees). With the st family last, no batch timing ever runs in a
-    # JVM that has executed a streaming query.
+    # Family isolation: warm-up + timing run PER FAMILY, batch first,
+    # streaming last — see suite_families for the rationale.
     def unload_state_stores() -> None:
         """Drop cached state-store providers after a streaming
         execution so the NEXT streaming timing starts from the
@@ -142,10 +149,7 @@ def main() -> None:
         except Exception as exc:  # internal API: degrade to old behavior
             print(f"state-store unload skipped: {exc}", file=sys.stderr)
 
-    families = [
-        sorted(n for n in qs if not n.startswith("st")),
-        sorted(n for n in qs if n.startswith("st")),
-    ]
+    families = suite_families(qs)
     timings: dict[str, float] = {}
     for family in families:
         streaming_family = bool(family) and family[0].startswith("st")

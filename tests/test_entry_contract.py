@@ -63,6 +63,20 @@ def test_driver_window_priority():
     assert names[48:50] == ["ext06_approx_quantiles", "ext05_approx_distinct"]
 
 
+def test_bench_family_isolation_order():
+    """Pin the r8 residue fix: bench must execute ALL batch queries
+    before ANY Structured Streaming (st*) query — streaming runs leave
+    state-store residue that inflated batch timings up to 10x. Every
+    registered query must appear in exactly one family."""
+    from bench import suite_families
+
+    names = list(entry.queries())
+    batch, streaming = suite_families(names)
+    assert streaming and all(n.startswith("st") for n in streaming)
+    assert batch and not any(n.startswith("st") for n in batch)
+    assert sorted(batch + streaming) == sorted(names)
+
+
 def test_bench_line_fits_driver_tail_buffer():
     """Exercises bench.py's REAL line builder (not a replica), so any
     key added to the emitted line or change to the short-key scheme is
