@@ -32,38 +32,79 @@ def suite_families(names) -> list[list[str]]:
     ]
 
 
-def build_bench_line(timings: dict[str, float], sf: str) -> str:
+def run_suite(names, run_query, unload_state_stores,
+              on_warmup_error=None) -> dict[str, float]:
+    """The suite's execution wiring, factored out so the contract test
+    can drive it with stubs and assert the REAL order (not just the
+    suite_families split): per family, warm up every query, then time
+    every query; after each streaming execution (warm-up and timed),
+    unload cached state-store providers so the next streaming timing
+    starts from the isolated-run condition — each st run caches
+    providers for its own fresh-UUID checkpoint that no later query
+    can reuse, so the cache is pure residue (RocksDB native memory +
+    maintenance work) that made late st-family timings swing up to
+    2.5x (st04 1.93-4.86 s across the r8 acceptance runs)."""
+    timings: dict[str, float] = {}
+    for family in suite_families(names):
+        streaming_family = bool(family) and family[0].startswith("st")
+        for name in family:
+            try:
+                run_query(name)
+            except Exception as exc:  # timed run will surface it properly
+                if on_warmup_error is not None:
+                    on_warmup_error(name, exc)
+            if streaming_family:
+                unload_state_stores()
+        for name in family:
+            start = time.perf_counter()
+            run_query(name)
+            timings[name] = round(time.perf_counter() - start, 4)
+            if streaming_family:
+                unload_state_stores()
+    return timings
+
+
+def build_bench_line(timings: dict[str, float], sf: str,
+                     degraded: tuple[str, ...] = ()) -> str:
     """The canonical stdout JSON line. The driver records only the
     LAST ~2000 chars of stdout and json-parses the final line; full
     query names blow that budget (BENCH_r01..r03 all show
     "parsed": null with the line truncated mid-number), so the line
     uses SHORT keys — the unique "dq01"/"kv01"/"llm03" name prefix of
     each query (mapping documented in BASELINE.md). The contract test
-    calls THIS function so test and emitter cannot drift."""
+    calls THIS function so test and emitter cannot drift.
+
+    ``degraded`` names measurement-protocol steps that FAILED during
+    the run (e.g. ``state_unload``): they make the artifact carry its
+    own health so a silently weakened protocol (st timings quietly
+    residue-inflated again) is visible in BENCH_r{N}.json, not just on
+    a stderr stream the driver throws away."""
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     # Driver-contract guards: real raises, not asserts — python -O
     # strips asserts and an over-long/key-colliding line would reach
     # the driver's 2000-char tail buffer unparsed.
     if len(short) != len(timings):
         raise RuntimeError("bench short keys must stay unique")
+    payload = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+        # Warm-up protocol: every query once at the target SF (absorbs
+        # per-query-shape compile: py4j tree build, Catalyst analysis,
+        # janino codegen, worker-pool spawn), plus one pandas_udf
+        # identity. Warm-up + timing proceed per family — batch first,
+        # streaming (st*) last — so streaming state-store residue
+        # never touches a batch timing. Steady-state timings mirror a
+        # deployment where a query compiles once and runs for hours.
+        "warmup": ["per_family@sf", "pandas_pool"],
+    }
+    if degraded:
+        payload["degraded"] = sorted(set(degraded))
     line = json.dumps(
-        {
-            "metric": "declared_query_suite_wall_clock",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "queries": short,
-            "sf": sf,
-            # Warm-up protocol: every query once at the target SF
-            # (absorbs per-query-shape compile: py4j tree build,
-            # Catalyst analysis, janino codegen, worker-pool spawn),
-            # plus one pandas_udf identity. Warm-up + timing proceed
-            # per family — batch first, streaming (st*) last — so
-            # streaming state-store residue never touches a batch
-            # timing. Steady-state timings mirror a deployment where
-            # a query compiles once and runs for hours.
-            "warmup": ["per_family@sf", "pandas_pool"],
-        },
-        # compact separators: at 95 queries the default ", "/": "
+        payload,
+        # compact separators: at 96 queries the default ", "/": "
         # padding alone (~200 chars) would push the worst-case line
         # past the driver's ~2000-char stdout tail buffer
         separators=(",", ":"),
@@ -77,7 +118,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # A ~150-execution suite (warm-up + timed pass over the full surface)
+    # A ~200-execution suite (warm-up + timed pass over the full surface)
     # overflows HotSpot's default 240 MB code cache; once the JIT
     # starts flushing, late-suite queries degrade 2-3x (st02 measured
     # 5.9 s vs 2.4 s steady). 512 MB alone is stable across runs —
@@ -118,57 +159,42 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     spark.range(0, 2 * cores, 1, cores).select(_identity("id")).collect()
 
-    # Warm-up: run EVERY query once at the TARGET SF before timing
-    # (time-the-second-run steady-state protocol). A query's first run
-    # pays one-time per-QUERY-SHAPE costs that are independent of data
-    # scale — py4j Column-tree construction (memoized per shape),
-    # Catalyst analysis, janino/HotSpot compile of the generated code
-    # (cached on source text), Python/Arrow worker-pool spawn —
-    # measured at 2-16 s per kayvee/streaming query vs ~2 s steady
-    # state at sf0.1, and an sf0.001 warm-up still left ~1 s/query of
+    # Warm-up rationale: a query's first run pays one-time
+    # per-QUERY-SHAPE costs that are independent of data scale — py4j
+    # Column-tree construction (memoized per shape), Catalyst
+    # analysis, janino/HotSpot compile of the generated code (cached
+    # on source text), Python/Arrow worker-pool spawn — measured at
+    # 2-16 s per kayvee/streaming query vs ~2 s steady state at sf0.1,
+    # and an sf0.001-only warm-up still left ~1 s/query of
     # scale-transition residue (AQE/JIT at the larger input). A
     # deployment compiles a query once and runs it for hours over
     # 100 TB, so steady state is the number that scales; the protocol
-    # is declared in the output line ("warmup": "all@sf").
-    #
-    # Family isolation: warm-up + timing run PER FAMILY, batch first,
-    # streaming last — see suite_families for the rationale.
+    # is declared in the output line ("warmup": ["per_family@sf",
+    # "pandas_pool"]). Execution order lives in run_suite.
+    degraded: list[str] = []
+
     def unload_state_stores() -> None:
-        """Drop cached state-store providers after a streaming
-        execution so the NEXT streaming timing starts from the
-        isolated-run condition — each st run caches providers for its
-        own (fresh-UUID) checkpoint that no later query can reuse, so
-        the cache is pure residue: RocksDB native memory + maintenance
-        work that made late st-family timings swing up to 2.5x
-        (st04 1.93-4.86 s across the r8 acceptance runs). Spark's own
-        state-store test suites reset between cases the same way; a
-        later stateful query lazily restarts the maintenance task."""
         try:
             jvm = spark._jvm
             jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        except Exception as exc:  # internal API: degrade to old behavior
+        except Exception as exc:  # internal API: degrade to old behavior,
+            # but carry the failure into the artifact (see
+            # build_bench_line's `degraded`) — stderr alone is thrown
+            # away by the driver.
+            if "state_unload" not in degraded:
+                degraded.append("state_unload")
             print(f"state-store unload skipped: {exc}", file=sys.stderr)
 
-    families = suite_families(qs)
-    timings: dict[str, float] = {}
-    for family in families:
-        streaming_family = bool(family) and family[0].startswith("st")
-        for name in family:
-            try:
-                qs[name](spark, sf_dir).collect()
-            except Exception as exc:  # timed run will surface it properly
-                print(f"warmup {name} failed: {exc}", file=sys.stderr)
-            if streaming_family:
-                unload_state_stores()
-        for name in family:
-            start = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.perf_counter() - start, 4)
-            if streaming_family:
-                unload_state_stores()
+    timings = run_suite(
+        qs,
+        run_query=lambda name: qs[name](spark, sf_dir).collect(),
+        unload_state_stores=unload_state_stores,
+        on_warmup_error=lambda name, exc: print(
+            f"warmup {name} failed: {exc}", file=sys.stderr
+        ),
+    )
 
-    line = build_bench_line(timings, sf)
+    line = build_bench_line(timings, sf, degraded=tuple(degraded))
     # full-name detail for humans; stdout line is the driver contract
     detail = {**json.loads(line), "queries": timings}
     try:

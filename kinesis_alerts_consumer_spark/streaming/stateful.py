@@ -96,7 +96,12 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     ``google.protobuf``, which this container lacks (and installs are
     off) — so this operator is import-gated exactly like the Kinesis
     source (sources/kinesis.py): the code path is real and the
-    equivalence test runs wherever protobuf exists, skips here.
+    equivalence test runs wherever protobuf exists, skips here. That
+    gate also means the (user_id, value) pre-projection below is
+    validated HERE only through its twin in
+    :func:`running_user_totals` (in-window oracle row + streaming
+    tests); the first environment with protobuf should run the
+    equivalence test before trusting this variant.
     """
     try:
         import google.protobuf  # noqa: F401

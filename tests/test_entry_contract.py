@@ -64,17 +64,42 @@ def test_driver_window_priority():
 
 
 def test_bench_family_isolation_order():
-    """Pin the r8 residue fix: bench must execute ALL batch queries
-    before ANY Structured Streaming (st*) query — streaming runs leave
-    state-store residue that inflated batch timings up to 10x. Every
-    registered query must appear in exactly one family."""
-    from bench import suite_families
+    """Pin the r8 residue fix by driving the REAL execution wiring
+    (run_suite) with stubs: every batch execution must happen before
+    ANY Structured Streaming (st*) execution — streaming runs leave
+    state-store residue that inflated batch timings up to 10x — and
+    the state-store unload must fire after every streaming execution
+    (warm-up and timed) and never around a batch one."""
+    from bench import run_suite, suite_families
 
     names = list(entry.queries())
     batch, streaming = suite_families(names)
     assert streaming and all(n.startswith("st") for n in streaming)
     assert batch and not any(n.startswith("st") for n in batch)
     assert sorted(batch + streaming) == sorted(names)
+
+    events: list[str] = []
+    timings = run_suite(
+        names,
+        run_query=lambda name: events.append(name),
+        unload_state_stores=lambda: events.append("<unload>"),
+    )
+    assert sorted(timings) == sorted(names)
+    executed = [e for e in events if e != "<unload>"]
+    first_streaming = min(
+        i for i, e in enumerate(executed) if e.startswith("st")
+    )
+    assert not any(
+        not e.startswith("st") for e in executed[first_streaming:]
+    ), "a batch query executed after a streaming query"
+    # every query runs exactly twice (warm-up + timed)
+    assert all(executed.count(n) == 2 for n in names)
+    # unload follows every streaming execution, and only those
+    for i, e in enumerate(events):
+        if e.startswith("st") and not e.startswith("st<"):
+            assert events[i + 1] == "<unload>", (i, e)
+    n_st_runs = sum(1 for e in executed if e.startswith("st"))
+    assert events.count("<unload>") == n_st_runs
 
 
 def test_bench_line_fits_driver_tail_buffer():

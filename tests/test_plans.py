@@ -212,7 +212,7 @@ def test_lsh_candidates_single_signature_pass(spark):
     ]
 
 
-def _last_batch_plan(df, spark, mode="complete") -> str:
+def _last_batch_plan(df, mode="complete") -> str:
     """Executed micro-batch plan of a bounded availableNow replay —
     streaming plans only materialize scan/exchange detail per batch,
     so plan posture is asserted on the final executed batch."""
@@ -242,9 +242,7 @@ def test_streaming_session_scan_prunes_columns(spark):
         user_sessions,
     )
 
-    plan = _last_batch_plan(
-        user_sessions(stream_events(spark, SF_SMOKE)), spark
-    )
+    plan = _last_batch_plan(user_sessions(stream_events(spark, SF_SMOKE)))
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert scans, plan
     for line in scans:
@@ -271,7 +269,7 @@ def test_streaming_dedup_prunes_through_state_operator(spark):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
-    plan = _last_batch_plan(ded, spark, mode="append")
+    plan = _last_batch_plan(ded, mode="append")
     # The final availableNow batch of a dedup stream is an empty
     # commit batch (LocalTableScan <empty>), so assert on the columns
     # the plan CARRIES: the stateful exchange and its source must show
