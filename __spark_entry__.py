@@ -33,62 +33,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_declared(spark, "/root/testdata/sf0.001", "dq02_join_agg")
 
 
-# Round-8 window: an EXPLICIT 48-name set (enumerated, not derived —
+# Round-9 window: an EXPLICIT 48-name set (enumerated, not derived —
 # the scheme the r5/r6 verdicts settled on).
 #
 # Composition, per the rotation invariant (every oracle-backed query
-# green within the trailing TWO rounds):
-#   * the 46 entries whose last green row is r6 — the r7 verdict's
-#     mandatory rotation list (VERDICT r7 item 1): dq01/02,
-#     ext01-04, ext07, kv02-05, llm01-13, llm15-23, llm25, llm33,
-#     llm35, llm36, mm01-03, st01-04, vol02, vol03. kv02 and st03
-#     double as changed-code re-validations this round (mongo-guard
-#     and Arrow-pre-projection work, VERDICT r7 items 4/5).
-#   * the 2 free slots go to changed-code re-validation (VERDICT r7
-#     item 6): kv01 and st05, the heaviest OUT-of-window riders of
-#     operators/routing.py, whose mongo-rule matcher gains the cheap
-#     startswith/contains guard this round. The remaining riders
-#     (kv06, kv07) are covered by the accepted substitute: a
-#     hypothesis property test proving the guard is implied by
-#     MONGO_SLOW_RE (tests/test_mongo_guard_equivalence.py) plus an
-#     in-session full-surface driver_emulation verify at sf0.01 —
-#     the r7 parse-split precedent.
-# Everything green in r7 (dq03-dq31, kv06, kv07, llm14, llm24,
-# llm26-32, llm34, st06-st08, vol01, vol04) rotates out.
+# green within the trailing TWO rounds) and the r8 verdict's written
+# plan (VERDICT r8 item 1):
+#   * the 46 entries whose last green row is r7: dq03-dq31, kv06,
+#     kv07, llm14, llm24, llm26-32, llm34, st06-st08, vol01, vol04.
+#     st07/st08 double as changed-code re-validations (st08 gains
+#     volume-sized state partitions this round, VERDICT r8 item 2;
+#     st07 rides the same state_partitions_for helper).
+#   * the 2 free slots (VERDICT r8 item 1: new entry | changed-code
+#     re-validation only): llm37_domain_affinity (NEW this round —
+#     DSIR-shaped importance weights, operators/text.py) and
+#     st03_stream_stateful_totals, the sole rider of
+#     streaming/stateful.py whose Arrow pre-projection is factored
+#     into a helper shared with the protobuf-gated TWS twin this
+#     round (ADVICE r8 item 3).
+# Everything green in r8 (dq01/02, ext01-04, ext07, kv01-05,
+# llm01-13, llm15-23, llm25, llm33, llm35, llm36, mm01-03, st01/02/
+# 04/05, vol02, vol03) rotates out.
 #
-# ROUND-9 PLAN (write _R9_WINDOW from this at the start of r9): the
-# 46 keys last green in r7 — exactly the ones listed in the
-# paragraph above — fill 46 of the 48 oracle slots, leaving 2 free
-# slots for (new entry | changed-code re-validation). Keep ext06
-# then ext05 pinned at positions 49-50. Any r9 code change to a
-# helper shared with out-of-window entries needs either a window
-# slot or an in-session full-surface oracle verify (the r7 parse
-# precedent).
-_R8_WINDOW = frozenset(
-    ["dq01_filter_project", "dq02_join_agg"]
-    + ["ext01_asof_join", "ext02_range_join", "ext03_pivot",
-       "ext04_percentiles", "ext07_bucketed_join"]
-    + ["kv01_route_project", "kv02_mongo_rule",
-       "kv03_process_metrics", "kv04_disposition",
-       "kv05_config_rules"]
-    + ["llm01_dedup_exact", "llm02_minhash_signatures",
-       "llm03_near_dup_minhash_lsh", "llm04_simhash",
-       "llm05_embedding_near_dup", "llm06_ann_cosine_topk",
-       "llm07_ann_cosine_topk_lsh", "llm08_token_stats",
-       "llm09_quality_scores", "llm10_language_id",
-       "llm11_fingerprints", "llm12_corpus_profile",
-       "llm13_ann_cosine_topk_ivf", "llm15_dedup_clusters",
-       "llm16_hash_sample", "llm17_sequence_packing",
-       "llm18_pii_redaction", "llm19_doc_chunking",
-       "llm20_tfidf_vocab", "llm21_contamination",
-       "llm22_cross_snapshot_dedup", "llm23_ngram_repetition",
-       "llm25_mixture_plan", "llm33_token_commonness",
-       "llm35_distinct_md5_counts", "llm36_shingle_containment"]
-    + ["mm01_media_features", "mm02_frame_plan", "mm03_resize_plan"]
-    + ["st01_stream_hourly_rollup", "st02_stream_sessions",
-       "st03_stream_stateful_totals", "st04_stream_dedup",
-       "st05_stream_kayvee_pipeline"]
-    + ["vol02_log_route_volume", "vol03_hot_key_rollup"]
+# ROUND-10 PLAN (write _R10_WINDOW from this at the start of r10):
+# the 46 keys last green in r8 — exactly the ones listed in the
+# paragraph above MINUS st03 (green again in r9) — fill 46 of the
+# 48 oracle slots (dq01/02, ext01-04, ext07, kv01-05, llm01-13,
+# llm15-23, llm25, llm33, llm35, llm36, mm01-03, st01, st02, st04,
+# st05, vol02, vol03 = 46), leaving 2 free slots for (new entry |
+# changed-code re-validation). Keep ext06 then ext05 pinned at
+# positions 49-50. Any r10 code change to a helper shared with
+# out-of-window entries needs either a window slot or an in-session
+# full-surface oracle verify (the r7 parse precedent).
+_R9_WINDOW = frozenset(
+    [
+        "dq03_window_topk", "dq04_rollup", "dq05_regex_extract",
+        "dq06_tumbling_agg", "dq07_intersect", "dq08_semi_join",
+        "dq09_sessionization", "dq10_exact_dedup_counts",
+        "dq11_anti_join", "dq12_global_topk", "dq13_union_except",
+        "dq14_scalar_functions", "dq15_conditional_agg",
+        "dq16_minmax_profile", "dq17_cube", "dq18_string_functions",
+        "dq19_date_functions", "dq20_correlated_scalar",
+        "dq21_window_frames", "dq22_having", "dq23_full_outer",
+        "dq24_window_variants", "dq25_median", "dq26_multiset_ops",
+        "dq27_try_cast", "dq28_lateral", "dq29_recursive_gapfill",
+        "dq30_grouping_sets_filter", "dq31_advanced_strings",
+    ]
+    + ["kv06_multiroute_regions", "kv07_notifications"]
+    + ["llm14_winnowing", "llm24_ann_cosine_topk_pq",
+       "llm26_source_caps", "llm27_semantic_dedup",
+       "llm28_passage_dedup", "llm29_knn_classify",
+       "llm30_label_centroids", "llm31_curation_pipeline",
+       "llm32_length_outliers", "llm34_random_projection"]
+    + ["st06_stream_volume_rollup", "st07_stream_stream_join",
+       "st08_stream_dedup_within_wm"]
+    + ["vol01_log_volume", "vol04_hot_key_join"]
+    # free slots: new entry + changed-code re-validation
+    + ["llm37_domain_affinity", "st03_stream_stateful_totals"]
 )
 
 
@@ -96,14 +97,14 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     """(name, fn, oracle_sql|None) in driver-priority insertion order.
 
     The driver's correctness snapshot records EXACTLY the first 50 keys
-    of insertion order (cap confirmed over r01-r05). Round-8 window =
-    the explicit ``_R8_WINDOW`` set (composition documented at its
-    definition — 46 last-green-in-r6 entries + 2 changed-code
-    re-validations). ext06 then ext05 sit at positions 49-50:
-    no-oracle rows-only entries last inside the window so nothing
-    oracle-backed is lost if the driver halts at the first no-oracle
-    entry. Everything green in
-    r7 sits outside. tests/test_entry_contract.py pins the layout and
+    of insertion order (cap confirmed over r01-r05). Round-9 window =
+    the explicit ``_R9_WINDOW`` set (composition documented at its
+    definition — 46 last-green-in-r7 entries + llm37 new + st03
+    changed-code re-validation). ext06 then ext05 sit at positions
+    49-50: no-oracle rows-only entries last inside the window so
+    nothing oracle-backed is lost if the driver halts at the first
+    no-oracle entry. Everything green in
+    r8 sits outside. tests/test_entry_contract.py pins the layout and
     fails loudly if the composition drifts past 48.
     """
     oracle_backed: dict[str, tuple[Callable, str]] = {}
@@ -121,15 +122,15 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
             oracle_sql_for(name),
         )
 
-    missing = _R8_WINDOW - set(oracle_backed)
+    missing = _R9_WINDOW - set(oracle_backed)
     if missing:
         raise RuntimeError(f"window names not registered: {sorted(missing)}")
-    window = sorted(n for n in oracle_backed if n in _R8_WINDOW)
-    rest = sorted(n for n in oracle_backed if n not in _R8_WINDOW)
+    window = sorted(n for n in oracle_backed if n in _R9_WINDOW)
+    rest = sorted(n for n in oracle_backed if n not in _R9_WINDOW)
     if len(window) != 48:
         raise RuntimeError(
             f"driver window holds {len(window)} oracle-backed keys, "
-            "want 48 — adjust _R8_WINDOW so the no-oracle entries "
+            "want 48 — adjust _R9_WINDOW so the no-oracle entries "
             "stay at positions 49-50"
         )
     entries = [(n, *oracle_backed[n]) for n in window]

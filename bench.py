@@ -14,8 +14,20 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
+
+# The streaming-entry NAMING SHAPE (st01_stream_..., pinned by the
+# contract test against the actual STREAMING_QUERIES registry), not a
+# bare startswith("st"): a future batch entry named e.g.
+# stats01_profile must NOT be silently timed last with per-run
+# state-store unloads (ADVICE r8).
+_STREAMING_NAME = re.compile(r"st\d{2}_stream_")
+
+
+def is_streaming_query(name: str) -> bool:
+    return bool(_STREAMING_NAME.match(name))
 
 
 def suite_families(names) -> list[list[str]]:
@@ -27,8 +39,8 @@ def suite_families(names) -> list[list[str]]:
     so no batch timing may run in a JVM that has executed a streaming
     query. The contract test pins this split."""
     return [
-        sorted(n for n in names if not n.startswith("st")),
-        sorted(n for n in names if n.startswith("st")),
+        sorted(n for n in names if not is_streaming_query(n)),
+        sorted(n for n in names if is_streaming_query(n)),
     ]
 
 
@@ -46,7 +58,7 @@ def run_suite(names, run_query, unload_state_stores,
     2.5x (st04 1.93-4.86 s across the r8 acceptance runs)."""
     timings: dict[str, float] = {}
     for family in suite_families(names):
-        streaming_family = bool(family) and family[0].startswith("st")
+        streaming_family = bool(family) and is_streaming_query(family[0])
         for name in family:
             try:
                 run_query(name)

@@ -414,3 +414,64 @@ def token_commonness(docs: DataFrame) -> DataFrame:
         .select("doc_id", "n_tok", score.alias("score_ppm"))
         .orderBy("doc_id")
     )
+
+
+def domain_affinity(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """DSIR-shaped importance weight for targeted data selection: each
+    doc scored by how much of its token evidence comes from a TARGET
+    subset of the corpus (here ``lang == target_lang``; in production
+    the target is a trusted high-quality slice — wiki/books — and the
+    score drives importance resampling of the raw crawl, per Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023).
+
+    Canonical DSIR is a hashed-n-gram log-likelihood ratio; the log is
+    dropped here for the same reason token_commonness drops it (JVM
+    Math.log vs libm can differ in the last ulp — a floor-flip hazard
+    across engines) in favor of the monotone integer form
+    ``affinity_ppm = floor(1e6 * sum_t df_target(t) / sum_t df_all(t))``
+    over a doc's token instances: integer sums commute across
+    partitions, and the one double divide + floor is an exactly
+    specified IEEE op, bit-identical cross-engine. Docs whose
+    vocabulary is over-represented in the target slice score high;
+    zero-overlap docs score 0.
+
+    Scale shape: one explode over the scan; a vocab-sized count agg
+    (token key, map-side partials) built for BOTH models in one pass
+    (conditional agg on the target predicate — not two explodes);
+    one shuffled join of (doc_id, token) against the vocab — token is
+    the uniform key; at 100 TB broadcast the top-K head of the vocab
+    and shuffle only the tail, exactly the llm33 lever — then one
+    doc_id agg. No driver collects; nothing grows with corpus size
+    except the vocab table (sublinear, Heaps' law).
+    """
+    docs = spread_for_compute(docs)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_tokens(F.col("text"))).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count("*").alias("df_all"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("df_tgt"),
+    )
+    per_doc = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("df_tgt").alias("sum_tgt"),
+            F.sum("df_all").alias("sum_all"),
+        )
+    )
+    # double-cast each operand BEFORE the multiply (the llm33 int64
+    # wrap hazard: at corpus scale sum_tgt * 1e6 exceeds 2^63)
+    affinity = F.floor(
+        (F.col("sum_tgt").cast("double") * F.lit(1000000.0))
+        / F.col("sum_all").cast("double")
+    ).cast("bigint")
+    return per_doc.select(
+        "doc_id", "n_tok", affinity.alias("affinity_ppm")
+    ).orderBy("doc_id")

@@ -1385,6 +1385,32 @@ ORDER BY a, b
 """
 
 
+def q_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weights against the en slice as the
+    trusted target domain (operators/text.py:domain_affinity)."""
+    t = _tables(spark, sf_dir)
+    return T.domain_affinity(t["documents"], target_lang="en")
+
+
+SQL_DOMAIN_AFFINITY = """
+WITH tok AS (SELECT doc_id, lang,
+                    UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+             FROM documents),
+vocab AS (SELECT token, COUNT(*) AS df_all,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS df_tgt
+          FROM tok GROUP BY token),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tok,
+                   CAST(SUM(df_tgt) AS BIGINT) AS sum_tgt,
+                   CAST(SUM(df_all) AS BIGINT) AS sum_all
+            FROM tok JOIN vocab USING (token) GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       CAST(floor((CAST(sum_tgt AS DOUBLE) * 1000000.0)
+                  / CAST(sum_all AS DOUBLE)) AS BIGINT) AS affinity_ppm
+FROM per_doc ORDER BY doc_id
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1425,4 +1451,5 @@ LLM_QUERIES: dict[str, tuple] = {
         q_shingle_containment,
         SQL_SHINGLE_CONTAINMENT,
     ),
+    "llm37_domain_affinity": (q_domain_affinity, SQL_DOMAIN_AFFINITY),
 }

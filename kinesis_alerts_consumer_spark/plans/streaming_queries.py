@@ -420,8 +420,25 @@ def q_stream_dedup_within_watermark(
     disk, which is the production choice whenever state ~ stream
     volume; (2) the deduped stream lands in a PARQUET sink (scratch
     dir) and only the 5-row profile is aggregated from it — a memory
-    sink would materialize the whole deduped corpus in the driver."""
+    sink would materialize the whole deduped corpus in the driver.
+
+    State partitioning is sized to STATE VOLUME via
+    :func:`..streaming.aggregates.state_partitions_for`, the st07
+    precedent (VERDICT r8 item 2): dedup state holds one entry per
+    in-flight key, and an availableNow whole-corpus replay keeps
+    EVERY key's first-seen row until the final watermark advance, so
+    state tracks source bytes exactly like the join's buffers.
+    ``target_bytes`` is halved vs st07 because the explode doubles
+    every source record before the dedup (2x keys per source byte).
+    Measured at sf100 (100M source -> 200M doubled records, fresh JVM
+    per sample, interleaved same-host): 32 session-default partitions
+    141.8-170.1 s; sized 60 partitions 112.9-130.0 s — every adjacent
+    pair favors sized, ~1.25x, best 112.9 s = 45.5x at 1000x data
+    (BASELINE.md round-9 notes)."""
     configure(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = state_partitions_for(spark, sf_dir, target_bytes=32 << 20)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     doubled = (
         stream_events(spark, sf_dir)
         .withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
@@ -439,16 +456,19 @@ def q_stream_dedup_within_watermark(
         )
         .drop("_copy")
     )
-    with _rocksdb_state_store(spark):
-        deduped = _run_to_scratch(
-            doubled.withWatermark("ts", "2 hours")
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .select("event_id", "event_type"),
-            spark,
-            _ST08_DIRS,
-            "st08_dedup_",
-            "append",
-        )
+    try:
+        with _rocksdb_state_store(spark):
+            deduped = _run_to_scratch(
+                doubled.withWatermark("ts", "2 hours")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .select("event_id", "event_type"),
+                spark,
+                _ST08_DIRS,
+                "st08_dedup_",
+                "append",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         deduped.groupBy("event_type")
         .agg(F.count("*").alias("n"), F.count_distinct("event_id").alias("nd"))

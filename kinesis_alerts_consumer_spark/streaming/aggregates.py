@@ -136,10 +136,16 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
     partition per ``target_bytes`` of source parquet approximates
     "per-partition state fits in memory" with compressed-parquet ×
     in-memory-inflation roughly cancelling the eviction Spark does
-    manage between batches. Capped at the session shuffle default so
-    a misconfigured huge source never explodes the task count — at
-    real scale operators raise ``spark.sql.shuffle.partitions``
-    cluster-wide and this cap rises with it.
+    manage between batches. Capped at 4x the session shuffle default:
+    the cap keeps a misconfigured huge source from exploding the task
+    count, while the 4x headroom lets volume sizing actually ENGAGE
+    when one session's default is undersized for the state — at the
+    r9 sf100 rehearsal a hard cap at the session default (32) made
+    st08's sizing a no-op, while the volume answer (60 partitions)
+    measured 112.9-130.0 s vs 141.8-170.1 s interleaved same-host
+    (~1.25x; BASELINE.md round-9 notes). At real scale
+    operators raise ``spark.sql.shuffle.partitions`` cluster-wide and
+    this cap rises with it.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -152,7 +158,7 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
         # to avoid, and the session default is the cluster-sized knob
         # operators already raise at scale.
         return max(cap, floor)
-    return max(floor, min(max(cap, floor), nbytes // target_bytes))
+    return max(floor, min(max(4 * cap, floor), nbytes // target_bytes))
 
 
 def _source_bytes(spark: SparkSession, path: str) -> int | None:

@@ -42,6 +42,25 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _project_for_state(events: DataFrame) -> DataFrame:
+    """The minimal-column projection both stateful variants apply
+    BEFORE their stateful operator: the update logic reads only
+    ``value`` (plus the ``user_id`` grouping key), and every retained
+    column would otherwise ride the pre-state shuffle AND cross the
+    JVM->Python Arrow boundary twice per row. On the events table the
+    drop (event_id, ts, event_type, props — props is a free-form JSON
+    string, the bulk of the bytes) cuts the per-1000-rows Arrow
+    payload ~6x; the linear term in st03's scale ladder is exactly
+    this boundary (VERDICT r7 item 4; 217.7 -> 110.7 s at sf100).
+
+    Shared on purpose (ADVICE r8): the applyInPandasWithState twin is
+    oracle-validated in this environment, the protobuf-gated
+    transformWithStateInPandas twin is not — one helper means the
+    validated path structurally covers the gated one, so the two
+    cannot silently diverge on the projection."""
+    return events.select("user_id", "value")
+
+
 def _update_running(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -63,15 +82,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     After a bounded (availableNow) replay the final row per key equals
     the batch aggregate — the equivalence the tests/oracle assert.
 
-    The update function reads only ``value`` (and the grouping key), so
-    everything else is projected away BEFORE the stateful operator:
-    every retained column would otherwise ride the pre-state shuffle
-    AND cross the JVM->Python Arrow boundary twice per row. On the
-    events table the drop (event_id, ts, event_type, props — props is
-    a free-form JSON string, the bulk of the bytes) cuts the
-    per-1000-rows Arrow payload ~6x; the linear term in st03's scale
-    ladder is exactly this boundary (VERDICT r7 item 4)."""
-    return events.select("user_id", "value").groupBy(
+    Columns are cut to (user_id, value) by the shared
+    :func:`_project_for_state` before the stateful operator — see its
+    docstring for the Arrow-boundary numbers."""
+    return _project_for_state(events).groupBy(
         "user_id"
     ).applyInPandasWithState(
         _update_running,
@@ -143,9 +157,9 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # same minimal-column projection as running_user_totals: only the
-    # key and `value` need to cross the Arrow boundary
-    return events.select("user_id", "value").groupBy(
+    # the SHARED minimal-column projection (cannot diverge from the
+    # oracle-validated applyInPandasWithState twin)
+    return _project_for_state(events).groupBy(
         "user_id"
     ).transformWithStateInPandas(
         statefulProcessor=_RunningTotals(),

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    assert len(qs) == 96
+    assert len(qs) == 97
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -30,33 +30,30 @@ def test_query_count_and_oracle_coverage():
 def test_driver_window_priority():
     names = list(entry.queries())
     window = set(names[:50])
-    # round-8 rotation: the window IS the explicit _R8_WINDOW set —
-    # the 46 entries whose last green row is r6 (the r7 verdict's
-    # mandatory rotation list), plus kv01/st05 as changed-code
-    # re-validations (both ride the routing.py mongo-guard change).
-    assert entry._R8_WINDOW <= window, sorted(entry._R8_WINDOW - window)
-    assert len(entry._R8_WINDOW) == 48
-    # the 46 mandatory last-green-in-r6 keys individually (family
-    # spot-pins; the full list is the _R8_WINDOW literal itself)
-    for must in (["dq01", "dq02", "ext01", "ext02", "ext03", "ext04",
-                  "ext07", "kv02", "kv03", "kv04", "kv05"]
-                 + ["llm%02d" % i for i in range(1, 14)]
-                 + ["llm%02d" % i for i in range(15, 24)]
-                 + ["llm25", "llm33", "llm35", "llm36",
-                    "mm01", "mm02", "mm03",
-                    "st01", "st02", "st03", "st04",
-                    "vol02", "vol03",
-                    # changed-code re-validation slots (routing.py
-                    # mongo-guard riders out of the r6 list)
-                    "kv01_route_project",
-                    "st05_stream_kayvee_pipeline"]):
+    # round-9 rotation: the window IS the explicit _R9_WINDOW set —
+    # the 46 entries whose last green row is r7 (the r8 verdict's
+    # mandatory rotation list), plus llm37 (new entry) and st03
+    # (changed-code re-validation: the stateful.py shared-projection
+    # refactor).
+    assert entry._R9_WINDOW <= window, sorted(entry._R9_WINDOW - window)
+    assert len(entry._R9_WINDOW) == 48
+    # the 46 mandatory last-green-in-r7 keys individually (family
+    # spot-pins; the full list is the _R9_WINDOW literal itself)
+    for must in (["dq%02d" % i for i in range(3, 32)]
+                 + ["kv06", "kv07", "llm14", "llm24"]
+                 + ["llm%02d" % i for i in range(26, 33)]
+                 + ["llm34", "st06", "st07", "st08", "vol01", "vol04",
+                    # free slots: new entry + changed-code re-validation
+                    "llm37_domain_affinity",
+                    "st03_stream_stateful_totals"]):
         hit = [n for n in window if n.startswith(must)]
-        assert hit, f"{must} must be inside the r8 window"
-    # everything green in r7 must NOT consume window slots (spot-pin
-    # the families; kv01/st05 are deliberate re-validations)
-    for out in ("dq03", "dq17", "dq31", "kv06", "kv07", "llm14",
-                "llm24", "llm26", "llm32", "llm34", "st06", "st07",
-                "st08", "vol01", "vol04"):
+        assert hit, f"{must} must be inside the r9 window"
+    # everything green in r8 must NOT consume window slots (spot-pin
+    # the families; st03 is a deliberate re-validation)
+    for out in ("dq01", "dq02", "ext01", "ext04", "ext07", "kv01",
+                "kv02", "kv05", "llm01", "llm13", "llm23", "llm25",
+                "llm33", "llm36", "mm01", "mm03", "st01", "st02",
+                "st04", "st05", "vol02", "vol03"):
         hit = [n for n in window if n.startswith(out)]
         assert not hit, f"{out} should be outside the window: {hit}"
     # no-oracle entries last inside the window, fewest-rows ext06 first
@@ -72,11 +69,24 @@ def test_bench_family_isolation_order():
     (warm-up and timed) and never around a batch one."""
     from bench import run_suite, suite_families
 
+    from kinesis_alerts_consumer_spark.plans.streaming_queries import (
+        STREAMING_QUERIES,
+    )
+
     names = list(entry.queries())
     batch, streaming = suite_families(names)
-    assert streaming and all(n.startswith("st") for n in streaming)
-    assert batch and not any(n.startswith("st") for n in batch)
+    # the split must agree with the REAL streaming registry, not just
+    # with bench's own name predicate (ADVICE r8: a batch entry named
+    # stats01_* must not be misgrouped into the streaming family)
+    assert sorted(streaming) == sorted(STREAMING_QUERIES)
+    assert batch and not set(batch) & set(STREAMING_QUERIES)
     assert sorted(batch + streaming) == sorted(names)
+    # the predicate rejects st-prefixed batch shapes outright
+    from bench import is_streaming_query
+
+    assert not is_streaming_query("stats01_profile")
+    assert not is_streaming_query("st99_batch_thing")
+    assert is_streaming_query("st01_stream_hourly_rollup")
 
     events: list[str] = []
     timings = run_suite(
@@ -87,18 +97,18 @@ def test_bench_family_isolation_order():
     assert sorted(timings) == sorted(names)
     executed = [e for e in events if e != "<unload>"]
     first_streaming = min(
-        i for i, e in enumerate(executed) if e.startswith("st")
+        i for i, e in enumerate(executed) if is_streaming_query(e)
     )
     assert not any(
-        not e.startswith("st") for e in executed[first_streaming:]
+        not is_streaming_query(e) for e in executed[first_streaming:]
     ), "a batch query executed after a streaming query"
     # every query runs exactly twice (warm-up + timed)
     assert all(executed.count(n) == 2 for n in names)
     # unload follows every streaming execution, and only those
     for i, e in enumerate(events):
-        if e.startswith("st") and not e.startswith("st<"):
+        if is_streaming_query(e):
             assert events[i + 1] == "<unload>", (i, e)
-    n_st_runs = sum(1 for e in executed if e.startswith("st"))
+    n_st_runs = sum(1 for e in executed if is_streaming_query(e))
     assert events.count("<unload>") == n_st_runs
 
 
@@ -113,3 +123,11 @@ def test_bench_line_fits_driver_tail_buffer():
     parsed = json.loads(line)
     assert len(line) < 1900
     assert parsed["unit"] == "sec" and len(parsed["queries"]) == len(names)
+    # the TRUE worst case includes the degraded key (ADVICE r8): the
+    # full surface plus every protocol-failure marker must still fit
+    worst = build_bench_line(
+        {n: 12345.6789 for n in names}, "0.1",
+        degraded=("state_unload",),
+    )
+    assert len(worst) < 1900
+    assert json.loads(worst)["degraded"] == ["state_unload"]

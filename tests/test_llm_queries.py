@@ -680,3 +680,34 @@ def test_containment_detects_subset_at_full_ppm(spark):
     }
     # (1,2): b-in-a containment is exact 1e6; a-in-b is 6/18
     assert rows == {(1, 2): (333333, 1000000)}, rows
+
+
+def test_domain_affinity_separates_target_and_disjoint_docs(spark):
+    from kinesis_alerts_consumer_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # en docs: all tokens target-dominated; doc 4's stray
+            # non-target 'the' dilutes them to exactly 5/6
+            (1, "the cat sat", "en"),
+            (2, "the dog sat", "en"),
+            # zh doc with disjoint vocab -> sum_tgt == 0 -> affinity 0
+            (3, "猫 坐 了", "zh"),
+            # mixed doc: 'the' (df_all=3, df_tgt=2 after this doc adds
+            # one non-target instance... counts are corpus-wide) plus a
+            # private token -> strictly between 0 and 1e6
+            (4, "the 坐", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r.doc_id: r.affinity_ppm
+        for r in T.domain_affinity(docs, target_lang="en").collect()
+    }
+    # doc 1: the(df_all=3, df_tgt=2) cat(1,1) sat(2,2) ->
+    # floor(1e6 * 5/6); doc 2 mirrors it with dog(1,1)
+    assert rows[1] == 833_333 and rows[2] == 833_333
+    assert rows[3] == 0
+    # doc 4: tokens 'the' (df_all=3, df_tgt=2) and '坐' (df_all=2,
+    # df_tgt=0) -> floor(1e6 * 2 / 5) = 400000
+    assert rows[4] == 400_000

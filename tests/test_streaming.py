@@ -715,9 +715,11 @@ def test_st05_st06_oracle_twin_smoke(spark, duck):
 def test_state_partitions_sized_to_source_volume(spark, tmp_path):
     """state_partitions_for: floor of 8 at small state (per-store
     commit overhead dominates), scales ~1 partition per 64 MB of
-    source bytes at large state, capped at the session shuffle
-    default so a huge source can't explode the task count (the cap
-    rises with cluster-wide spark.sql.shuffle.partitions at scale)."""
+    source bytes at large state, capped at 4x the session shuffle
+    default — headroom so volume sizing can engage past an undersized
+    session default (the r9 st08 sf100 measurement), while a huge
+    source still can't explode the task count (the cap rises with
+    cluster-wide spark.sql.shuffle.partitions at scale)."""
     from kinesis_alerts_consumer_spark.streaming.aggregates import (
         state_partitions_for,
     )
@@ -732,17 +734,23 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
         f.truncate(640 << 20)  # sparse — no real disk cost
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     got = state_partitions_for(spark, str(tmp_path))
-    assert got == min(max(cap, 8), 10)
+    assert got == min(max(4 * cap, 8), 10)
 
     # non-local URI with a filesystem impl on the classpath (file://
     # stands in for s3://, hdfs://): os.path can't size it, the Hadoop
     # FileSystem fallback must — same answer as the local-path walk
     assert state_partitions_for(spark, "file://" + str(tmp_path)) == got
 
-    # beyond the cap: clamped to the session shuffle default
+    # past the session default but under 4x: volume sizing engages
+    # (the st08 regime — a hard cap at the default made it a no-op)
     with open(big, "wb") as f:
-        f.truncate((64 << 20) * (cap + 50))
-    assert state_partitions_for(spark, str(tmp_path)) == max(cap, 8)
+        f.truncate((64 << 20) * (2 * cap))
+    assert state_partitions_for(spark, str(tmp_path)) == max(2 * cap, 8)
+
+    # beyond 4x the session default: clamped
+    with open(big, "wb") as f:
+        f.truncate((64 << 20) * (4 * cap + 50))
+    assert state_partitions_for(spark, str(tmp_path)) == max(4 * cap, 8)
 
     # unsizable source (missing path / remote URI / permission error):
     # fall UP to the session shuffle default, never an exception — the
