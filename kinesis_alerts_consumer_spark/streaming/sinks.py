@@ -134,7 +134,29 @@ class MetricsSink:
     def process_batch(self, projected: DataFrame, batch_id: int = 0) -> None:
         from ..operators.project import cw_data, dd_points, quarantine
 
-        projected = projected.persist()
+        # The batch is consumed by FOUR actions (quarantine write,
+        # delay gauge, DD submit, CW chunks), so the expensive
+        # interpreted parse->route->project lineage must evaluate
+        # once — but in a parquet STAGING dir, not an executor-memory
+        # cache: persist() built 100+ MiB columnar batches per task
+        # concurrently across 32 threads and OOMed the 8g heap at the
+        # sf100 rehearsal (r9; 20M sampled events in one availableNow
+        # batch), the same grows-with-data-in-memory shape the
+        # st02-04 scratch-sink topology already bans. Parquet writers
+        # stream rows through bounded row-group buffers, and each
+        # downstream action re-reads columns it needs from disk. The
+        # explicit schema on the read-back keeps empty micro-batches
+        # working (no part files to infer from). Same one-batch blast
+        # radius as _write_idempotent on replay: a re-run batch
+        # rewrites its own stage dir first.
+        import shutil
+
+        stage = self._path("stage", f"batch_id={int(batch_id)}")
+        shutil.rmtree(stage, ignore_errors=True)
+        schema = projected.schema
+        spark = projected.sparkSession
+        projected.write.mode("overwrite").parquet(stage)
+        projected = spark.read.schema(schema).parquet(stage)
         try:
             dd = dd_points(projected)
             cw = cw_data(projected)
@@ -238,4 +260,4 @@ class MetricsSink:
             except Exception:  # noqa: BLE001
                 pass
         finally:
-            projected.unpersist()
+            shutil.rmtree(stage, ignore_errors=True)
