@@ -61,10 +61,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 48 oracle slots (dq01/02, ext01-04, ext07, kv01-05, llm01-13,
 # llm15-23, llm25, llm33, llm35, llm36, mm01-03, st01, st02, st04,
 # st05, vol02, vol03 = 46), leaving 2 free slots for (new entry |
-# changed-code re-validation). Keep ext06 then ext05 pinned at
-# positions 49-50. Any r10 code change to a helper shared with
-# out-of-window entries needs either a window slot or an in-session
-# full-surface oracle verify (the r7 parse precedent).
+# changed-code re-validation). One of those slots is ALREADY OWED to
+# llm38_bloom_snapshot_dedup, which debuted late in r9 outside the
+# window (its r9 evidence: the pytest oracle twin at sf0.001, a
+# collision-heavy equivalence test, and the in-session full-surface
+# sf0.01 verify). Keep ext06 then ext05 pinned at positions 49-50.
+# Any r10 code change to a helper shared with out-of-window entries
+# needs either a window slot or an in-session full-surface oracle
+# verify (the r7 parse precedent).
 _R9_WINDOW = frozenset(
     [
         "dq03_window_topk", "dq04_rollup", "dq05_regex_extract",

@@ -377,6 +377,152 @@ def incremental_new_docs(
     return exact_dedup(docs_new).join(old_fp, "fp", "left_anti")
 
 
+def bloom_words(fps: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Bloom-filter bitmap over an ``fp`` column as a SPARSE table of
+    set 64-bit words ``(w, word)``, built entirely from DataFrame ops
+    (no driver loop, no UDF): each fp sets ``k`` bits (bit_j =
+    pmod(xxhash64(j || ':' || fp), m)). The build is one narrow agg —
+    explode to (word, mask), groupBy(word) bit_or — with map-side
+    partial OR, so its shuffle carries at most min(k*n, m/64) rows of
+    16 bytes; the result is a bounded SKETCH (≤ m_bits/8 bytes dense,
+    sized like any sketch parameter) that broadcasts as a hash-join
+    build side.
+
+    Representation lesson (measured r9 at 5M docs): a one-row
+    map<w, word> column probed via ``element_at`` evaluated the probe
+    as a LINEAR scan of the map per lookup (ArrayBasedMapData has no
+    hash index) — 108 s vs the plain anti-join's 1.5 s. The sparse
+    words TABLE probed through broadcast hash joins gets the O(1)
+    lookup from the join's hash table instead.
+
+    Spark's own runtime-filter optimization builds exactly this shape
+    (BloomFilterAggregate / might_contain) for eligible joins, but
+    those expressions are internal-only (absent from the public
+    function registry — probed r9); this is the same pattern made
+    explicit, tunable, and reusable across stages.
+    """
+    bit_exprs = [
+        F.pmod(
+            F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("fp"))), F.lit(m_bits)
+        )
+        for j in range(k)
+    ]
+    return (
+        fps.select(F.explode(F.array(*bit_exprs)).alias("bit"))
+        .select(
+            F.expr("bit div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    words: DataFrame,
+    m_bits: int,
+    k: int,
+    flag: str = "_maybe",
+) -> DataFrame:
+    """Adds boolean ``flag``: all ``k`` of this row's ``fp`` bits are
+    set in the sketch. One broadcast LEFT hash join per hash function
+    against the sparse words table — every probe is an O(1) hash
+    lookup on the map side, no shuffle of ``df``; an absent word
+    reads as 0 (coalesce), so probing an empty sketch is cleanly
+    False."""
+    out = df
+    flags = []
+    for j in range(k):
+        bit = f"pmod(xxhash64(concat('{j}:', fp)), {m_bits})"
+        out = out.withColumn(f"_w{j}", F.expr(f"{bit} div 64")).withColumn(
+            f"_m{j}", F.expr(f"shiftleft(1L, cast({bit} % 64 as int))")
+        )
+        out = out.join(
+            F.broadcast(
+                words.select(
+                    F.col("w").alias(f"_w{j}"),
+                    F.col("word").alias(f"_word{j}"),
+                )
+            ),
+            f"_w{j}",
+            "left",
+        )
+        flags.append(
+            F.coalesce(F.col(f"_word{j}"), F.lit(0)).bitwiseAND(
+                F.col(f"_m{j}")
+            )
+            != 0
+        )
+    cond = flags[0]
+    for c in flags[1:]:
+        cond = cond & c
+    drop = [c for j in range(k) for c in (f"_w{j}", f"_m{j}", f"_word{j}")]
+    return out.withColumn(flag, cond).drop(*drop)
+
+
+def incremental_new_docs_bloom(
+    docs_new: DataFrame,
+    docs_old: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`incremental_new_docs` through a bloom-filter pre-screen
+    — the runtime-filter pattern for cross-snapshot dedup when the
+    OLD snapshot is the 100 TB side.
+
+    The plain version anti-joins every new fingerprint against the
+    old set: correct, but the shuffle moves the FULL new side even
+    though (in a healthy crawl) most new content is genuinely new.
+    Here the old side collapses to a broadcastable bloom SKETCH
+    (:func:`bloom_bitmap`); new fingerprints probe it map-side:
+
+    - probe says NO  -> definitely-new (bloom has no false negatives)
+      — emitted directly, ZERO shuffle for this (majority) slice;
+    - probe says MAYBE -> exact anti-join verify, shuffling only the
+      suspect slice (true dups + the false-positive rate the m/k
+      sizing bought).
+
+    The exact-verify step makes the OUTPUT identical to the plain
+    anti-join for ANY m/k — correctness never depends on sketch
+    sizing, only the suspect-slice width does. The oracle twin is
+    therefore the plain anti-join SQL: the hash compare IS the
+    no-false-negative equivalence proof (and the pytest twin drives
+    it with a deliberately tiny, collision-heavy bitmap).
+
+    What the sketch actually saves at scale: the OLD side — the
+    100 TB side — is consumed exactly once by the 16-byte-row sketch
+    agg and never enters a join, where the plain plan shuffles (or
+    sort-merges) the full old fingerprint set; and the new side's
+    second shuffle (the anti-join) shrinks to the suspect slice.
+    The new side's exact_dedup groupBy is common to both plans.
+    Locally (one JVM, no network) the plain anti-join is already
+    cheap, so wall-clock parity is expected at bench scale — the
+    saved quantity is cluster network bytes, which the plan shape
+    shows (BASELINE.md round-9 notes).
+
+    Scale notes: the sparse sketch is ≤ m_bits/8 bytes — size m to
+    the broadcast budget (~10 bits/item for ~1% fp at k=4; a 1B-fp
+    reference set at 10 bits/item is ~1.2 GB, past broadcast comfort
+    — shard the bitmap by fp prefix and probe each shard's slice, or
+    fall back to the plain anti-join, which stays the declared llm22
+    path). ``pmod`` (not ``%``) keeps xxhash64's negative halves in
+    [0, m).
+    """
+    new_groups = exact_dedup(docs_new)
+    old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
+    probed = bloom_probe(
+        new_groups, bloom_words(old_fp, m_bits, k), m_bits, k
+    )
+    clean = probed.filter(~F.col("_maybe")).select("fp", "keep_id", "copies")
+    suspects = (
+        probed.filter(F.col("_maybe"))
+        .select("fp", "keep_id", "copies")
+        .join(old_fp, "fp", "left_anti")
+    )
+    return clean.unionAll(suspects)
+
+
 def passage_dedup(docs: DataFrame, block: int = 8) -> DataFrame:
     """Sub-document (passage-level) exact dedup — the Dolma/Lee-et-al
     "deduplicate repeated passages, keep the first occurrence" pass,

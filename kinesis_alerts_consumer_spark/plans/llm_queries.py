@@ -1411,6 +1411,33 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_bloom_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup through the bloom pre-screen (llm22's
+    runtime-filter twin; operators/dedup.py:incremental_new_docs_bloom):
+    doc_id % 3 == 0 plays the previous crawl, the rest the new one.
+    The oracle is the PLAIN anti-join — the hash compare is the
+    no-false-negative equivalence proof for the sketch path."""
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.incremental_new_docs_bloom(
+        new, old, m_bits=1 << 16, k=4
+    ).orderBy("fp")
+
+
+SQL_BLOOM_SNAPSHOT = """
+WITH old_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                WHERE doc_id % 3 = 0),
+new_fp AS (SELECT doc_id, md5(text) AS fp FROM documents
+           WHERE doc_id % 3 <> 0)
+SELECT fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS copies
+FROM new_fp n
+WHERE NOT EXISTS (SELECT 1 FROM old_fp o WHERE o.fp = n.fp)
+GROUP BY fp ORDER BY fp
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1452,4 +1479,5 @@ LLM_QUERIES: dict[str, tuple] = {
         SQL_SHINGLE_CONTAINMENT,
     ),
     "llm37_domain_affinity": (q_domain_affinity, SQL_DOMAIN_AFFINITY),
+    "llm38_bloom_snapshot_dedup": (q_bloom_snapshot_dedup, SQL_BLOOM_SNAPSHOT),
 }

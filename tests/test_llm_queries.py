@@ -711,3 +711,55 @@ def test_domain_affinity_separates_target_and_disjoint_docs(spark):
     # doc 4: tokens 'the' (df_all=3, df_tgt=2) and '坐' (df_all=2,
     # df_tgt=0) -> floor(1e6 * 2 / 5) = 400000
     assert rows[4] == 400_000
+
+
+def test_bloom_snapshot_dedup_exact_under_heavy_collisions(spark):
+    """The bloom pre-screen's output must be IDENTICAL to the plain
+    anti-join for any sketch sizing: a deliberately tiny bitmap
+    (64 bits, k=2, hundreds of fps) forces a high false-positive rate
+    through the exact-verify branch, and a roomy bitmap sends most
+    rows through the definitely-new branch — both must agree with
+    incremental_new_docs exactly."""
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i % 37} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    plain = sorted(
+        map(tuple, D.incremental_new_docs(new, old).collect())
+    )
+    for m_bits, k in ((64, 2), (1 << 16, 4)):
+        got = sorted(
+            map(
+                tuple,
+                D.incremental_new_docs_bloom(
+                    new, old, m_bits=m_bits, k=k
+                ).collect(),
+            )
+        )
+        assert got == plain, (m_bits, k)
+
+
+def test_bloom_probe_has_no_false_negatives(spark):
+    """Every fp inserted into the bitmap must probe positive — the
+    property the definitely-new fast path's correctness rests on."""
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        bloom_probe,
+        bloom_words,
+    )
+
+    fps = spark.createDataFrame(
+        [(f"fp-{i}",) for i in range(500)], "fp string"
+    )
+    words = bloom_words(fps, m_bits=1 << 12, k=3)
+    probed = bloom_probe(fps, words, 1 << 12, 3)
+    assert probed.filter(F.col("_maybe")).count() == 500
+    # and the probe columns are cleaned up
+    assert set(probed.columns) == {"fp", "_maybe"}
