@@ -56,19 +56,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # 04/05, vol02, vol03) rotates out.
 #
 # ROUND-10 PLAN (write _R10_WINDOW from this at the start of r10):
-# the 46 keys last green in r8 — exactly the ones listed in the
-# paragraph above MINUS st03 (green again in r9) — fill 46 of the
-# 48 oracle slots (dq01/02, ext01-04, ext07, kv01-05, llm01-13,
-# llm15-23, llm25, llm33, llm35, llm36, mm01-03, st01, st02, st04,
-# st05, vol02, vol03 = 46), leaving 2 free slots for (new entry |
-# changed-code re-validation). One of those slots is ALREADY OWED to
+# the 47 keys last green in r8 — the full 48-key r8 window minus
+# st03, which re-greens in r9 — fill 47 of the 48 oracle slots
+# (dq01/02, ext01-04, ext07, kv01-05, llm01-13, llm15-23, llm25,
+# llm33, llm35, llm36, mm01-03, st01, st02, st04, st05, vol02,
+# vol03 = 47). The single remaining slot is ALREADY OWED to
 # llm38_bloom_snapshot_dedup, which debuted late in r9 outside the
 # window (its r9 evidence: the pytest oracle twin at sf0.001, a
 # collision-heavy equivalence test, and the in-session full-surface
-# sf0.01 verify). Keep ext06 then ext05 pinned at positions 49-50.
-# Any r10 code change to a helper shared with out-of-window entries
-# needs either a window slot or an in-session full-surface oracle
-# verify (the r7 parse precedent).
+# sf0.01 verifies). That leaves ZERO free slots in r10: any r10
+# change to code ridden by an out-of-window entry must use the
+# accepted substitute (property/equivalence test + in-session
+# full-surface oracle verify at sf0.01, cited in the commit message
+# — the r7 parse precedent). Keep ext06 then ext05 pinned at
+# positions 49-50.
 _R9_WINDOW = frozenset(
     [
         "dq03_window_topk", "dq04_rollup", "dq05_regex_extract",

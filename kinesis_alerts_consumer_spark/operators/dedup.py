@@ -475,7 +475,7 @@ def incremental_new_docs_bloom(
     old set: correct, but the shuffle moves the FULL new side even
     though (in a healthy crawl) most new content is genuinely new.
     Here the old side collapses to a broadcastable bloom SKETCH
-    (:func:`bloom_bitmap`); new fingerprints probe it map-side:
+    (:func:`bloom_words`); new fingerprints probe it map-side:
 
     - probe says NO  -> definitely-new (bloom has no false negatives)
       — emitted directly, ZERO shuffle for this (majority) slice;
@@ -490,16 +490,21 @@ def incremental_new_docs_bloom(
     no-false-negative equivalence proof (and the pytest twin drives
     it with a deliberately tiny, collision-heavy bitmap).
 
-    What the sketch actually saves at scale: the OLD side — the
-    100 TB side — is consumed exactly once by the 16-byte-row sketch
-    agg and never enters a join, where the plain plan shuffles (or
-    sort-merges) the full old fingerprint set; and the new side's
-    second shuffle (the anti-join) shrinks to the suspect slice.
-    The new side's exact_dedup groupBy is common to both plans.
+    What the sketch actually saves at scale: the new side's
+    anti-join input shrinks from ALL new fingerprints to the suspect
+    slice. The old side still shuffles once into the verify
+    anti-join (its other scan feeds the 16-byte-row sketch agg) —
+    a shuffled anti-join is the robust choice because the suspect
+    slice is unbounded (worst case: every new doc is a dup). When
+    the suspect slice is known-small, the old side's shuffle can be
+    eliminated too: semi-join old_fp against broadcast(suspects)
+    map-side, then broadcast the (small) hit set back into the
+    anti-join — both old-side passes become map-side scans. The
+    new side's exact_dedup groupBy is common to both plans.
     Locally (one JVM, no network) the plain anti-join is already
     cheap, so wall-clock parity is expected at bench scale — the
-    saved quantity is cluster network bytes, which the plan shape
-    shows (BASELINE.md round-9 notes).
+    saved quantity is cluster network bytes (BASELINE.md round-9
+    notes).
 
     Scale notes: the sparse sketch is ≤ m_bits/8 bytes — size m to
     the broadcast budget (~10 bits/item for ~1% fp at k=4; a 1B-fp

@@ -439,24 +439,28 @@ def q_stream_dedup_within_watermark(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     n_state = state_partitions_for(spark, sf_dir, target_bytes=32 << 20)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
-    doubled = (
-        stream_events(spark, sf_dir)
-        .withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
-        .withColumn(
-            "ts",
-            F.col("ts")
-            + F.make_dt_interval(
-                F.lit(0),
-                F.lit(0),
-                F.when(
-                    F.col("_copy") == 1, (F.col("event_id") % 5) + 1
-                ).otherwise(F.lit(0)),
-                F.lit(0),
-            ),
-        )
-        .drop("_copy")
-    )
+    # everything after the conf override sits inside the try (the
+    # st07 shape): stream_events eagerly sniffs the parquet footer,
+    # and an exception there must not leak the overridden shuffle
+    # conf into the session
     try:
+        doubled = (
+            stream_events(spark, sf_dir)
+            .withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
+            .withColumn(
+                "ts",
+                F.col("ts")
+                + F.make_dt_interval(
+                    F.lit(0),
+                    F.lit(0),
+                    F.when(
+                        F.col("_copy") == 1, (F.col("event_id") % 5) + 1
+                    ).otherwise(F.lit(0)),
+                    F.lit(0),
+                ),
+            )
+            .drop("_copy")
+        )
         with _rocksdb_state_store(spark):
             deduped = _run_to_scratch(
                 doubled.withWatermark("ts", "2 hours")

@@ -29,9 +29,13 @@ from kinesis_alerts_consumer_spark.session import get_spark  # noqa: E402
 def audit(sf_dir: str) -> list[dict]:
     spark = get_spark(master="local[4]", shuffle_partitions=8)
     rows = []
+    from bench import is_streaming_query
+
     for name, fn in entry_mod.queries().items():
-        fam = name.split("_", 1)[0]
-        if fam.startswith("st"):
+        # the REAL streaming naming shape, shared with bench.py — a
+        # bare startswith("st") would silently exclude a future batch
+        # entry named e.g. stats01_* from the audit (ADVICE r8)
+        if is_streaming_query(name):
             rows.append({"name": name, "streaming": True})
             continue
         try:
