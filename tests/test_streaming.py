@@ -759,3 +759,22 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
     # cluster, so an unsizable-but-huge source stays safe.
     assert state_partitions_for(spark, str(tmp_path / "nope")) == max(cap, 8)
     assert state_partitions_for(spark, "s3://no-such-bucket/sf") == max(cap, 8)
+
+
+def test_st08_restores_shuffle_conf_on_source_failure(spark, tmp_path):
+    """The r9 review found st08 could leak its overridden
+    spark.sql.shuffle.partitions if the eager source construction
+    failed after the conf was set; the stream build now lives inside
+    the try/finally. Drive the failure path (missing events.parquet)
+    and pin the restore."""
+    import pytest as _pytest
+
+    from kinesis_alerts_consumer_spark.plans.streaming_queries import (
+        STREAMING_QUERIES,
+    )
+
+    fn, _ = STREAMING_QUERIES["st08_stream_dedup_within_wm"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _pytest.raises(Exception):
+        fn(spark, str(tmp_path / "no_such_sf_dir")).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
