@@ -112,3 +112,27 @@ def test_register_tables_refreshes_views_on_sf_switch(spark):
     assert spark.sql("SELECT COUNT(*) c FROM orders").first().c == n_big
     register_tables(spark, SF_SMOKE)
     assert spark.sql("SELECT COUNT(*) c FROM orders").first().c == n_smoke
+
+
+def test_avro_gate_or_roundtrip(spark, tmp_path):
+    """Avro is an external Spark module: where the jar exists the
+    round-trip must work; here (no jar) the reader/writer must raise
+    the actionable gate error, not an opaque ClassNotFound."""
+    import pytest as _pytest
+
+    from kinesis_alerts_consumer_spark.sources.formats import (
+        _avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "n")
+    if _avro_available(spark):
+        write_avro(df, str(tmp_path / "a"))
+        got = read_avro(spark, str(tmp_path / "a"))
+        assert got.count() == 5
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, str(tmp_path / "a"))
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "a"))
