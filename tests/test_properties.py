@@ -323,3 +323,58 @@ def test_shingle_regex_matches_python_reference(spark, texts, n):
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         ]
         assert r.got == want, (r.text, n, r.got, want)
+
+
+# --- llm37 domain affinity vs an independent Python model ----------
+
+_word = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=6,
+)
+_doc_text = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_lang = st.sampled_from(["en", "zh", "fr"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(_doc_text, _lang), min_size=1, max_size=12))
+def test_domain_affinity_matches_python_model(spark, docs_rows):
+    """domain_affinity == an independently-written Python model for
+    arbitrary small corpora (unicode words, empty texts, mixed langs):
+    same whitespace tokenization (trim + \\s+ split, where '' yields
+    the single empty token), corpus-wide conditional counts, and the
+    floor(1e6 * sum_tgt / sum_all) integer form. Catches tokenizer or
+    count-scope drift that the fixture oracle could miss."""
+    import re
+
+    from kinesis_alerts_consumer_spark.operators.text import domain_affinity
+
+    rows = [(i, text, lang) for i, (text, lang) in enumerate(docs_rows)]
+
+    def toks(text):
+        return re.split(r"\s+", text.strip())
+
+    df_all: dict = {}
+    df_tgt: dict = {}
+    for _i, text, lang in rows:
+        for t in toks(text):
+            df_all[t] = df_all.get(t, 0) + 1
+            if lang == "en":
+                df_tgt[t] = df_tgt.get(t, 0) + 1
+    want = {}
+    for i, text, _lang in rows:
+        ts = toks(text)
+        sum_all = sum(df_all[t] for t in ts)
+        sum_tgt = sum(df_tgt.get(t, 0) for t in ts)
+        want[i] = (len(ts),
+                   math.floor(sum_tgt * 1000000.0 / float(sum_all)))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_tok, r.affinity_ppm)
+        for r in domain_affinity(docs, target_lang="en").collect()
+    }
+    assert got == want
