@@ -378,3 +378,44 @@ def test_domain_affinity_matches_python_model(spark, docs_rows):
         for r in domain_affinity(docs, target_lang="en").collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(_doc_text, min_size=1, max_size=10),
+    st.lists(_doc_text, min_size=1, max_size=10),
+    st.sampled_from([32, 256, 4096]),
+    st.sampled_from([1, 2, 4]),
+)
+def test_bloom_dedup_equals_plain_for_any_corpus_and_sizing(
+    spark, old_texts, new_texts, m_bits, k
+):
+    """incremental_new_docs_bloom == incremental_new_docs for
+    arbitrary snapshots and ANY (m_bits, k) — including bitmaps so
+    small every probe collides. The no-false-negative equivalence is
+    the operator's entire correctness story; randomizing the dup
+    structure (hypothesis may generate overlapping, duplicated, or
+    disjoint texts) exercises both branches."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        incremental_new_docs,
+        incremental_new_docs_bloom,
+    )
+
+    old = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(old_texts)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string",
+    )
+    plain = sorted(map(tuple, incremental_new_docs(new, old).collect()))
+    bloom = sorted(
+        map(
+            tuple,
+            incremental_new_docs_bloom(
+                new, old, m_bits=m_bits, k=k
+            ).collect(),
+        )
+    )
+    assert bloom == plain
