@@ -121,15 +121,25 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
     count for a stateful query's whole lifetime at first start — to
     the state volume, not the session's batch shuffle default.
 
-    Two regimes, measured on st07 (stream-stream join, 4 state stores
-    per partition per side, one commit each per micro-batch):
+    THREE regimes, each measured (st07 stream-stream join and st08
+    dedup; interleaved same-host A/Bs, r6/r9):
 
-    - small state: partition COUNT dominates (commit overhead per
-      store per batch) — 32 partitions 5.7-11 s vs 8 partitions
-      2.4 s at sf0.1, identical rows. Hence the ``floor`` of 8.
+    - tiny state (source < one ``target_bytes``): per-store commit
+      overhead dominates — fewer, fatter stores win (st07 sf0.1:
+      8 partitions 3.1 s vs 32 partitions 6.2-6.8 s; st08 in-suite
+      3.09 -> 1.76 s). Hence the ``floor`` of 8.
+    - medium state: per-partition COMPUTE dominates — anything below
+      the cluster's parallelism serializes cores (st08 sf10:
+      8 partitions 31.9 s vs 32 partitions 10.8-14.5 s; st07 sf10:
+      8 -> 27-32 s vs 32 -> 13-15 s — the r9 review of this very
+      function's first cut, whose bytes-only answer returned the
+      floor here). Hence at least ``defaultParallelism`` once the
+      volume crosses one target.
     - large state: per-partition state SIZE dominates (RocksDB
       memtable flush/compaction, and on-heap provider OOM) — raise
-      the count until each partition's state fits executor memory.
+      the count past the core count until each partition's state
+      fits executor memory (st08 sf100: 60 partitions 112.9-130.0 s
+      vs 32 partitions 141.8-170.1 s).
 
     An availableNow whole-corpus replay buffers everything before the
     watermark can evict, so worst-case join state ~ source bytes; one
@@ -158,7 +168,11 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
         # to avoid, and the session default is the cluster-sized knob
         # operators already raise at scale.
         return max(cap, floor)
-    return max(floor, min(max(4 * cap, floor), nbytes // target_bytes))
+    n = nbytes // target_bytes
+    if n == 0:
+        return floor
+    cores = spark.sparkContext.defaultParallelism
+    return max(floor, min(max(4 * cap, floor), max(n, cores)))
 
 
 def _source_bytes(spark: SparkSession, path: str) -> int | None:

@@ -713,8 +713,10 @@ def test_st05_st06_oracle_twin_smoke(spark, duck):
 
 
 def test_state_partitions_sized_to_source_volume(spark, tmp_path):
-    """state_partitions_for: floor of 8 at small state (per-store
-    commit overhead dominates), scales ~1 partition per 64 MB of
+    """state_partitions_for, three measured regimes: floor of 8 at
+    tiny state (per-store commit overhead dominates), at least the
+    cluster parallelism at medium state (anything below it serializes
+    cores — the r9 st08/st07 sf10 A/Bs), ~1 partition per 64 MB of
     source bytes at large state, capped at 4x the session shuffle
     default — headroom so volume sizing can engage past an undersized
     session default (the r9 st08 sf100 measurement), while a huge
@@ -724,32 +726,42 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
         state_partitions_for,
     )
 
-    # real fixture dirs: every testdata sf resolves to the floor
+    # real fixture dirs: every testdata sf is tiny -> the floor
     assert state_partitions_for(spark, SF_SMOKE) == 8
     assert state_partitions_for(spark, SF_BENCH) == 8
 
-    # synthetic large source: 640 MB -> 10 partitions (under the cap)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cores = spark.sparkContext.defaultParallelism
+
+    def expected(n_targets: int) -> int:
+        if n_targets == 0:
+            return 8
+        return max(8, min(max(4 * cap, 8), max(n_targets, cores)))
+
+    # medium state: 640 MB = 10 targets -> at least the core count
     big = tmp_path / "events.parquet"
     with open(big, "wb") as f:
         f.truncate(640 << 20)  # sparse — no real disk cost
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     got = state_partitions_for(spark, str(tmp_path))
-    assert got == min(max(4 * cap, 8), 10)
+    assert got == expected(10)
+    assert got >= min(cores, max(4 * cap, 8))
 
     # non-local URI with a filesystem impl on the classpath (file://
     # stands in for s3://, hdfs://): os.path can't size it, the Hadoop
     # FileSystem fallback must — same answer as the local-path walk
     assert state_partitions_for(spark, "file://" + str(tmp_path)) == got
 
-    # past the session default but under 4x: volume sizing engages
-    # (the st08 regime — a hard cap at the default made it a no-op)
+    # large state past the session default but under 4x: volume
+    # sizing engages (a hard 1x cap made the st08 fix a no-op)
     with open(big, "wb") as f:
-        f.truncate((64 << 20) * (2 * cap))
-    assert state_partitions_for(spark, str(tmp_path)) == max(2 * cap, 8)
+        f.truncate((64 << 20) * (2 * cap + cores))
+    assert state_partitions_for(spark, str(tmp_path)) == expected(
+        2 * cap + cores
+    )
 
     # beyond 4x the session default: clamped
     with open(big, "wb") as f:
-        f.truncate((64 << 20) * (4 * cap + 50))
+        f.truncate((64 << 20) * (4 * cap + cores + 50))
     assert state_partitions_for(spark, str(tmp_path)) == max(4 * cap, 8)
 
     # unsizable source (missing path / remote URI / permission error):
