@@ -95,22 +95,28 @@ def write_parquet(
     writer.parquet(path)
 
 
-def _avro_available(spark: SparkSession) -> bool:
+_AVRO_GATE_MSG = (
+    "the avro data source is an external Spark module; launch "
+    "with --packages org.apache.spark:spark-avro_2.13:<spark "
+    "version> (not bundled in this container)"
+)
+
+
+def _reraise_if_avro_missing(exc: Exception) -> None:
     """The avro data source is an EXTERNAL module since Spark 2.4
     (org.apache.spark:spark-avro artifact) and absent from this
-    container — same environment gate as the Kinesis connector
-    (sources/kinesis.py). Probed FUNCTIONALLY (attempt a source
-    resolution on a bogus path and classify the error): a bare
-    Class.forName check false-positives here because the Spark 4
-    distribution ships some sql.avro classes (for from_avro/to_avro)
-    without registering the file data source."""
-    try:
-        spark.read.format("avro").schema("probe int").load(
-            "/nonexistent-avro-availability-probe"
-        )
-        return True
-    except Exception as exc:  # noqa: BLE001 — classify, never raise
-        return "Failed to find data source" not in str(exc)
+    container — same environment-gate pattern as the Kinesis
+    connector (sources/kinesis.py): attempt the REAL operation and
+    chain the actionable error only when the failure IS the missing
+    module (a bare Class.forName pre-probe false-positives here
+    because the Spark 4 distribution ships some sql.avro classes for
+    from_avro/to_avro without registering the file source; and a
+    message-substring pre-probe misclassifies unrelated failures).
+    Every other exception propagates untouched."""
+    msg = str(exc).lower()
+    if "data source" in msg and ("avro" in msg and "find" in msg):
+        raise RuntimeError(_AVRO_GATE_MSG) from exc
+    raise exc
 
 
 def read_avro(
@@ -118,26 +124,23 @@ def read_avro(
 ) -> DataFrame:
     """Avro (row-oriented, schema-evolution-friendly — the common
     Kafka/ingest interchange format). Gated on the external
-    spark-avro module with an actionable error, mirroring the Kinesis
-    source's options contract: the code path is real and the
-    round-trip test runs wherever the jar exists, skips here."""
-    if not _avro_available(spark):
-        raise RuntimeError(
-            "the avro data source is an external Spark module; launch "
-            "with --packages org.apache.spark:spark-avro_2.13:<spark "
-            "version> (not bundled in this container)"
-        )
+    spark-avro module with an actionable error
+    (:func:`_reraise_if_avro_missing`): the code path is real and the
+    round-trip test runs wherever the jar exists, pins the gate error
+    here."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.format("avro").load(path)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as exc:  # noqa: BLE001 — classify-and-chain
+        _reraise_if_avro_missing(exc)
+        raise  # unreachable; keeps type-checkers honest
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    if not _avro_available(df.sparkSession):
-        raise RuntimeError(
-            "the avro data source is an external Spark module; launch "
-            "with --packages org.apache.spark:spark-avro_2.13:<spark "
-            "version> (not bundled in this container)"
-        )
-    df.write.mode(mode).format("avro").save(path)
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as exc:  # noqa: BLE001 — classify-and-chain
+        _reraise_if_avro_missing(exc)
+        raise

@@ -172,7 +172,11 @@ def state_partitions_for(spark: SparkSession, sf_dir: str,
     if n == 0:
         return floor
     cores = spark.sparkContext.defaultParallelism
-    return max(floor, min(max(4 * cap, floor), max(n, cores)))
+    # the task-explosion cap may never undercut the cluster's own
+    # parallelism: a tiny session shuffle default (e.g. 4 on a 32-core
+    # box) would otherwise clamp the medium regime back into the
+    # core-serialization the regime exists to avoid
+    return max(floor, min(max(4 * cap, cores, floor), max(n, cores)))
 
 
 def _source_bytes(spark: SparkSession, path: str) -> int | None:

@@ -117,22 +117,40 @@ def test_register_tables_refreshes_views_on_sf_switch(spark):
 def test_avro_gate_or_roundtrip(spark, tmp_path):
     """Avro is an external Spark module: where the jar exists the
     round-trip must work; here (no jar) the reader/writer must raise
-    the actionable gate error, not an opaque ClassNotFound."""
+    the actionable gate error, not an opaque ClassNotFound. The
+    branch is chosen by ATTEMPTING the write (the gate pattern itself)
+    rather than a separate availability probe that could drift."""
     import pytest as _pytest
 
     from kinesis_alerts_consumer_spark.sources.formats import (
-        _avro_available,
         read_avro,
         write_avro,
     )
 
     df = spark.range(5).withColumnRenamed("id", "n")
-    if _avro_available(spark):
+    try:
         write_avro(df, str(tmp_path / "a"))
-        got = read_avro(spark, str(tmp_path / "a"))
-        assert got.count() == 5
+        available = True
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        available = False
+    if available:
+        assert read_avro(spark, str(tmp_path / "a")).count() == 5
     else:
         with _pytest.raises(RuntimeError, match="spark-avro"):
-            write_avro(df, str(tmp_path / "a"))
-        with _pytest.raises(RuntimeError, match="spark-avro"):
             read_avro(spark, str(tmp_path / "a"))
+    # classifier polarity: unrelated failures propagate untouched
+    # (never masked as the gate); both known not-found message
+    # variants chain to the actionable error
+    from kinesis_alerts_consumer_spark.sources.formats import (
+        _reraise_if_avro_missing,
+    )
+
+    with _pytest.raises(ValueError, match="connection reset"):
+        _reraise_if_avro_missing(ValueError("connection reset by peer"))
+    for msg in (
+        "Failed to find data source: avro. Avro is built-in but ...",
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: AVRO.",
+    ):
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            _reraise_if_avro_missing(Exception(msg))

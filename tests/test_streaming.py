@@ -730,63 +730,92 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
     assert state_partitions_for(spark, SF_SMOKE) == 8
     assert state_partitions_for(spark, SF_BENCH) == 8
 
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Pin the session knob explicitly so the expectations below are
+    # CONCRETE regime-spec values, not a re-statement of the
+    # implementation expression (the r9 review's tautology finding).
     cores = spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        big = tmp_path / "events.parquet"
 
-    def expected(n_targets: int) -> int:
-        if n_targets == 0:
-            return 8
-        return max(8, min(max(4 * cap, 8), max(n_targets, cores)))
+        # medium state: 640 MB = 10 targets, below the core count ->
+        # the spec says the CLUSTER PARALLELISM wins (10 would
+        # serialize cores; the sf10 A/Bs measured 2-2.5x)
+        with open(big, "wb") as f:
+            f.truncate(640 << 20)  # sparse — no real disk cost
+        got = state_partitions_for(spark, str(tmp_path))
+        assert got == max(10, cores)
 
-    # medium state: 640 MB = 10 targets -> at least the core count
-    big = tmp_path / "events.parquet"
-    with open(big, "wb") as f:
-        f.truncate(640 << 20)  # sparse — no real disk cost
-    got = state_partitions_for(spark, str(tmp_path))
-    assert got == expected(10)
-    assert got >= min(cores, max(4 * cap, 8))
+        # non-local URI with a filesystem impl on the classpath
+        # (file:// stands in for s3://, hdfs://): os.path can't size
+        # it, the Hadoop FileSystem fallback must — same answer
+        assert state_partitions_for(spark, "file://" + str(tmp_path)) == got
 
-    # non-local URI with a filesystem impl on the classpath (file://
-    # stands in for s3://, hdfs://): os.path can't size it, the Hadoop
-    # FileSystem fallback must — same answer as the local-path walk
-    assert state_partitions_for(spark, "file://" + str(tmp_path)) == got
+        # runaway source under a TINY session default: the clamp may
+        # bound task explosion but never undercut the cluster's own
+        # parallelism (the review's small-cap serialization hole)
+        with open(big, "wb") as f:
+            f.truncate((64 << 20) * (100 * max(32, cores)))
+        assert state_partitions_for(spark, str(tmp_path)) == max(32, cores)
 
-    # large state past the session default but under 4x: volume
-    # sizing engages (a hard 1x cap made the st08 fix a no-op)
-    with open(big, "wb") as f:
-        f.truncate((64 << 20) * (2 * cap + cores))
-    assert state_partitions_for(spark, str(tmp_path)) == expected(
-        2 * cap + cores
-    )
+        # large state with cap headroom (session default = core
+        # count): volume drives the count PAST the core count — a
+        # hard 1x-session cap made the st08 sf100 fix a no-op
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+        n_large = 2 * cores
+        with open(big, "wb") as f:
+            f.truncate((64 << 20) * n_large)
+        assert state_partitions_for(spark, str(tmp_path)) == n_large
 
-    # beyond 4x the session default: clamped
-    with open(big, "wb") as f:
-        f.truncate((64 << 20) * (4 * cap + cores + 50))
-    assert state_partitions_for(spark, str(tmp_path)) == max(4 * cap, 8)
+        # and the same headroom clamps at 4x
+        with open(big, "wb") as f:
+            f.truncate((64 << 20) * 100 * cores)
+        assert state_partitions_for(spark, str(tmp_path)) == 4 * cores
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     # unsizable source (missing path / remote URI / permission error):
     # fall UP to the session shuffle default, never an exception — the
     # floor would recreate the under-partitioned large-state regime,
     # and the session default is the knob operators size to the
     # cluster, so an unsizable-but-huge source stays safe.
+    cap = int(prev)
     assert state_partitions_for(spark, str(tmp_path / "nope")) == max(cap, 8)
     assert state_partitions_for(spark, "s3://no-such-bucket/sf") == max(cap, 8)
 
 
-def test_st08_restores_shuffle_conf_on_source_failure(spark, tmp_path):
+def test_st08_restores_shuffle_conf_on_source_failure(
+    spark, tmp_path, monkeypatch
+):
     """The r9 review found st08 could leak its overridden
     spark.sql.shuffle.partitions if the eager source construction
     failed after the conf was set; the stream build now lives inside
-    the try/finally. Drive the failure path (missing events.parquet)
-    and pin the restore."""
+    the try/finally. The test must prove three things, not just the
+    last (a failure BEFORE the override would pass a naive
+    before==after check vacuously): the override actually engaged
+    (observed by the failing source builder itself, via a sentinel
+    partition count no real config produces), the failure happened
+    after it, and the restore still ran."""
     import pytest as _pytest
 
-    from kinesis_alerts_consumer_spark.plans.streaming_queries import (
-        STREAMING_QUERIES,
-    )
+    import kinesis_alerts_consumer_spark.plans.streaming_queries as sq
 
-    fn, _ = STREAMING_QUERIES["st08_stream_dedup_within_wm"]
+    monkeypatch.setattr(
+        sq, "state_partitions_for", lambda *a, **k: 13
+    )
+    seen: dict = {}
+
+    def failing_source(spark_, sf_dir):
+        seen["during"] = spark_.conf.get("spark.sql.shuffle.partitions")
+        raise RuntimeError("synthetic source failure")
+
+    monkeypatch.setattr(sq, "stream_events", failing_source)
+
+    fn, _ = sq.STREAMING_QUERIES["st08_stream_dedup_within_wm"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    with _pytest.raises(Exception):
+    assert before != "13"
+    with _pytest.raises(RuntimeError, match="synthetic source failure"):
         fn(spark, str(tmp_path / "no_such_sf_dir")).collect()
+    assert seen["during"] == "13", "override never engaged before failure"
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
