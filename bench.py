@@ -22,8 +22,11 @@ import time
 # contract test against the actual STREAMING_QUERIES registry), not a
 # bare startswith("st"): a future batch entry named e.g.
 # stats01_profile must NOT be silently timed last with per-run
-# state-store unloads (ADVICE r8).
-_STREAMING_NAME = re.compile(r"st\d{2}_stream_")
+# state-store unloads (ADVICE r8). \d+ not \d{2}: a hypothetical
+# st100_stream_* entry must stay in the streaming family at RUN time,
+# not only be caught by the contract test's registry cross-check
+# (ADVICE r9).
+_STREAMING_NAME = re.compile(r"st\d+_stream_")
 
 
 def is_streaming_query(name: str) -> bool:

@@ -377,6 +377,34 @@ def incremental_new_docs(
     return exact_dedup(docs_new).join(old_fp, "fp", "left_anti")
 
 
+def _bloom_bit(j: int, m_bits: int) -> Column:
+    """Bit position of hash function ``j`` for the ``fp`` column:
+    ``pmod(xxhash64('j:' || fp), m_bits)`` — pmod (not %) keeps
+    xxhash64's negative half in [0, m_bits). The ONE definition both
+    :func:`bloom_words` (build) and :func:`bloom_probe` (probe) use:
+    if the two ever drifted, a truly-old fp could probe False and be
+    emitted unverified through the definitely-new fast path — a silent
+    duplicate (ADVICE r9). Output equivalence to the plain anti-join
+    survives ANY agreed bit function; agreement is what this helper
+    makes structural."""
+    return F.pmod(
+        F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("fp"))), F.lit(m_bits)
+    )
+
+
+def _bloom_word_mask(bit: Column) -> tuple[Column, Column]:
+    """(word index, single-bit mask) for a non-negative bit position:
+    ``w = bit >> 6`` (== bit div 64 for pmod output) and
+    ``mask = 1L << (bit % 64)``. Shared build/probe helper — see
+    :func:`_bloom_bit`."""
+    return (
+        F.shiftright(bit, 6),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (bit % 64).cast("int")
+        ),
+    )
+
+
 def bloom_words(fps: DataFrame, m_bits: int, k: int) -> DataFrame:
     """Bloom-filter bitmap over an ``fp`` column as a SPARSE table of
     set 64-bit words ``(w, word)``, built entirely from DataFrame ops
@@ -401,18 +429,14 @@ def bloom_words(fps: DataFrame, m_bits: int, k: int) -> DataFrame:
     function registry — probed r9); this is the same pattern made
     explicit, tunable, and reusable across stages.
     """
-    bit_exprs = [
-        F.pmod(
-            F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("fp"))), F.lit(m_bits)
-        )
-        for j in range(k)
-    ]
+    w, mask = _bloom_word_mask(F.col("bit"))
     return (
-        fps.select(F.explode(F.array(*bit_exprs)).alias("bit"))
-        .select(
-            F.expr("bit div 64").alias("w"),
-            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("mask"),
+        fps.select(
+            F.explode(
+                F.array(*[_bloom_bit(j, m_bits) for j in range(k)])
+            ).alias("bit")
         )
+        .select(w.alias("w"), mask.alias("mask"))
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
     )
@@ -430,14 +454,24 @@ def bloom_probe(
     against the sparse words table — every probe is an O(1) hash
     lookup on the map side, no shuffle of ``df``; an absent word
     reads as 0 (coalesce), so probing an empty sketch is cleanly
-    False."""
+    False. The bit/word/mask expressions come from the SAME helpers
+    the build uses (:func:`_bloom_bit`/:func:`_bloom_word_mask`), so
+    build/probe agreement — the no-false-negative guarantee — holds
+    by construction."""
+    reserved = {flag} | {
+        f"_{p}{j}" for j in range(k) for p in ("w", "m", "word")
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"bloom_probe temp/flag columns collide with input: {clash} "
+            "— rename the input columns or pass a different flag name"
+        )
     out = df
     flags = []
     for j in range(k):
-        bit = f"pmod(xxhash64(concat('{j}:', fp)), {m_bits})"
-        out = out.withColumn(f"_w{j}", F.expr(f"{bit} div 64")).withColumn(
-            f"_m{j}", F.expr(f"shiftleft(1L, cast({bit} % 64 as int))")
-        )
+        w, mask = _bloom_word_mask(_bloom_bit(j, m_bits))
+        out = out.withColumn(f"_w{j}", w).withColumn(f"_m{j}", mask)
         out = out.join(
             F.broadcast(
                 words.select(

@@ -149,15 +149,23 @@ class MetricsSink:
         # working (no part files to infer from). Same one-batch blast
         # radius as _write_idempotent on replay: a re-run batch
         # rewrites its own stage dir first.
+        # Staging cleanup is LOCAL-FS-only (shutil/os.path), the same
+        # assumption _write_idempotent's stale-partition delete makes:
+        # on an object-store out_dir the rmtree silently no-ops and
+        # stage dirs would accumulate — an object-store deployment
+        # must swap these for the store's prefix-delete API. The
+        # staging write itself sits INSIDE the try (ADVICE r9): a
+        # failed write/read-back otherwise leaked its stage dir until
+        # the same batch_id happened to replay.
         import shutil
 
         stage = self._path("stage", f"batch_id={int(batch_id)}")
         shutil.rmtree(stage, ignore_errors=True)
         schema = projected.schema
         spark = projected.sparkSession
-        projected.write.mode("overwrite").parquet(stage)
-        projected = spark.read.schema(schema).parquet(stage)
         try:
+            projected.write.mode("overwrite").parquet(stage)
+            projected = spark.read.schema(schema).parquet(stage)
             dd = dd_points(projected)
             cw = cw_data(projected)
             quar = quarantine(projected)

@@ -763,3 +763,30 @@ def test_bloom_probe_has_no_false_negatives(spark):
     assert probed.filter(F.col("_maybe")).count() == 500
     # and the probe columns are cleaned up
     assert set(probed.columns) == {"fp", "_maybe"}
+
+
+def test_bloom_probe_rejects_colliding_input_columns(spark):
+    """bloom_probe's temp/flag names must not silently shadow caller
+    columns (ADVICE r9: an input already carrying _w0/_m0/_word0 or
+    the flag name would produce ambiguous refs or a wrong drop)."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        bloom_probe,
+        bloom_words,
+    )
+
+    fps = spark.createDataFrame([("a",)], "fp string")
+    words = bloom_words(fps, m_bits=64, k=2)
+    for bad_col in ("_w0", "_m1", "_word0", "_maybe"):
+        poisoned = fps.withColumn(bad_col, fps.fp)
+        with pytest.raises(ValueError, match="collide"):
+            bloom_probe(poisoned, words, 64, 2)
+    # a collision OUTSIDE the k range in use is not a collision
+    ok = fps.withColumn("_w5", fps.fp)
+    assert bloom_probe(ok, words, 64, 2).count() == 1
+    # a custom flag name moves the reserved set with it
+    with pytest.raises(ValueError, match="collide"):
+        bloom_probe(
+            fps.withColumn("hit", fps.fp), words, 64, 2, flag="hit"
+        )

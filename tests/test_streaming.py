@@ -336,6 +336,35 @@ def test_metrics_sink_idempotent_replay(spark, tmp_path):
     assert len(gauge_files) == 2  # one per batch_id, replay overwrote
 
 
+def test_metrics_sink_stage_dir_cleaned_even_if_staging_write_fails(
+    spark, tmp_path
+):
+    """The staging parquet write sits INSIDE the try/finally (ADVICE
+    r9): a batch whose evaluation fails mid-write must not leak its
+    stage dir — a later healthy run of a DIFFERENT batch_id would
+    otherwise never clean it up."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.streaming.sinks import MetricsSink
+
+    lines = make_lines(4)
+    batch = process_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        "value", "test-env",
+    ).withColumn(
+        # evaluation bomb: raise_error fires when the staging write
+        # actually evaluates rows, exactly the mid-write failure shape
+        "boom",
+        F.raise_error(F.lit("staging write failure (test)")),
+    )
+    out = tmp_path / "out"
+    sink = MetricsSink(out_dir=str(out))
+    with pytest.raises(Exception, match="staging write failure"):
+        sink.process_batch(batch, batch_id=7)
+    stage = out / "stage" / "batch_id=7"
+    assert not stage.exists(), "failed staging write leaked its dir"
+
+
 def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4 transformWithStateInPandas twin of st03: final state
     per key equals the batch aggregate. The TWS state server needs
