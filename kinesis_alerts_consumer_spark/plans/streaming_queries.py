@@ -188,7 +188,30 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     included) emits and evicts them. The sentinel's own session stays
     unfinalized in state and is filtered on read. Sessions land in
     the native parquet sink (exactly-once via its commit log);
-    session state is pinned to RocksDB. sf100: heap OOM -> runs."""
+    session state is pinned to RocksDB. sf100: heap OOM -> runs.
+
+    State partitioning is sized to STATE VOLUME via
+    :func:`..streaming.aggregates.state_partitions_for` (the
+    st07/st08 precedent, VERDICT r9 item 2): session-window state
+    holds every OPEN session, and an availableNow whole-corpus
+    replay keeps every session open until the sentinel's final
+    watermark advance — so peak state tracks source bytes like the
+    join buffers and dedup keys. MEASURED RESULT: NEUTRAL for st02,
+    unlike st07/st08 (the r10 negative result the verdict asked to
+    record). /tmp/sf100 (100M events, fresh JVM per sample,
+    interleaved same-host A/B, 4v4): unsized-32 269.1/219.1/225.5/
+    250.6 s (mean 241.1) vs sized-60 227.2/247.0/264.2/192.5 s
+    (mean 232.7) — adjacent pairs split 2-2, means within 4%, inside
+    the host band. sf0.1 (3v3): 11.9/12.0/14.0 vs floored-8
+    10.7/11.0/20.2 — same story. Dominant terms the partition count
+    never touches: the 2 GB sentinel src copy (batch read+rewrite of
+    the whole source), the session-window MERGE work (per-key sort/
+    coalesce of session ranges, CPU-bound per row, unlike st08's
+    O(1)-per-key dedup lookups), and the final 33M-row ordered
+    drain. The wiring is kept: measured cost-neutral here, same
+    whole-corpus-state rationale as the join/dedup twins, and it
+    still guards a deployment whose session default is undersized
+    for the state volume (BASELINE.md round-10 notes)."""
     import os
 
     from ..sources.tables import load_table
@@ -213,14 +236,28 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    with _rocksdb_state_store(spark):
-        sessions = _run_to_scratch(
-            user_sessions(stream),
-            spark,
-            _ST02_DIRS,
-            "st02_sessions_out_",
-            "append",
-        )
+    # conf override scoped to the stream start and restored after,
+    # inside try/finally so a failed start cannot leak it (st07 shape)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # target_bytes is the st08 calibration (32 MB), not the 64 MB
+    # join default: at /tmp/sf100 the 64 MB target answers 30 — the
+    # session default again, i.e. a silent no-op exactly like the cap
+    # bug r9 found on st08. 32 MB lets the sizing actually ENGAGE
+    # (60 at sf100, floor 8 at sf0.1); both regimes measured NEUTRAL
+    # for this query (docstring above).
+    n_state = state_partitions_for(spark, sf_dir, target_bytes=32 << 20)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        with _rocksdb_state_store(spark):
+            sessions = _run_to_scratch(
+                user_sessions(stream),
+                spark,
+                _ST02_DIRS,
+                "st02_sessions_out_",
+                "append",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sessions.filter(F.col("user_id") >= 0).orderBy(
         "user_id", "session_start"
     )

@@ -814,6 +814,36 @@ def test_state_partitions_sized_to_source_volume(spark, tmp_path):
     assert state_partitions_for(spark, "s3://no-such-bucket/sf") == max(cap, 8)
 
 
+def test_st02_sizes_state_partitions_and_restores_conf(
+    spark, tmp_path, monkeypatch
+):
+    """st02's session-window state is sized to source volume (VERDICT
+    r9 item 2, the st07/st08 precedent). Same three-way proof shape as
+    the st08 pin: the override engaged (sentinel partition count
+    observed inside the stream start), the failure happened after it,
+    and the restore still ran."""
+    import pytest as _pytest
+
+    import kinesis_alerts_consumer_spark.plans.streaming_queries as sq
+
+    monkeypatch.setattr(sq, "state_partitions_for", lambda *a, **k: 13)
+    seen: dict = {}
+
+    def failing_run_to_scratch(df, spark_, dirs, prefix, mode):
+        seen["during"] = spark_.conf.get("spark.sql.shuffle.partitions")
+        raise RuntimeError("synthetic stream-start failure")
+
+    monkeypatch.setattr(sq, "_run_to_scratch", failing_run_to_scratch)
+
+    fn, _ = sq.STREAMING_QUERIES["st02_stream_sessions"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != "13"
+    with _pytest.raises(RuntimeError, match="synthetic stream-start"):
+        fn(spark, SF_SMOKE).collect()
+    assert seen["during"] == "13", "override never engaged before failure"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_st08_restores_shuffle_conf_on_source_failure(
     spark, tmp_path, monkeypatch
 ):
