@@ -562,6 +562,52 @@ def incremental_new_docs_bloom(
     return clean.unionAll(suspects)
 
 
+def incremental_new_docs_bloom_broadcast_back(
+    docs_new: DataFrame,
+    docs_old: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """The broadcast-back variant :func:`incremental_new_docs_bloom`'s
+    docstring describes — for when the suspect slice is KNOWN-SMALL
+    (healthy crawl: mostly-new content, low bloom fp rate): instead of
+    shuffling the old side into the verify anti-join, semi-join
+    ``old_fp`` against ``broadcast(suspects)`` map-side (old rows that
+    hash-hit a suspect fp), then broadcast the small hit set back into
+    the anti-join — BOTH old-side passes become map-side scans, and at
+    cluster scale the old side (the 100 TB snapshot) never crosses the
+    network at all.
+
+    Output identical to the shipped shape and to the plain anti-join
+    (bloom no-false-negatives + exact verify on the hit set); the
+    equivalence test drives it through the same collision-heavy
+    sizings. NOT the declared llm22/llm38 path because the broadcast
+    of the suspect slice is an unbounded bet — worst case (every new
+    doc a dup) the whole new side broadcasts; the shipped shuffled
+    verify is robust to ANY dup rate. Use when upstream knows the dup
+    rate (e.g. incremental re-crawl telemetry). Measured at
+    /tmp/sfdoc1000 (5M docs) against the shipped shape: BASELINE.md
+    round-10 notes.
+    """
+    new_groups = exact_dedup(docs_new)
+    old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
+    probed = bloom_probe(
+        new_groups, bloom_words(old_fp, m_bits, k), m_bits, k
+    )
+    clean = probed.filter(~F.col("_maybe")).select("fp", "keep_id", "copies")
+    suspects = probed.filter(F.col("_maybe")).select(
+        "fp", "keep_id", "copies"
+    )
+    # old fps that really exist in the suspect slice — a map-side
+    # broadcast semi-join on the old scan (no old-side shuffle) ...
+    hits = old_fp.join(
+        F.broadcast(suspects.select("fp")), "fp", "left_semi"
+    )
+    # ... broadcast the (small) hit set back: suspects minus true dups
+    verified = suspects.join(F.broadcast(hits), "fp", "left_anti")
+    return clean.unionAll(verified)
+
+
 def passage_dedup(docs: DataFrame, block: int = 8) -> DataFrame:
     """Sub-document (passage-level) exact dedup — the Dolma/Lee-et-al
     "deduplicate repeated passages, keep the first occurrence" pass,

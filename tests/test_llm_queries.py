@@ -734,15 +734,19 @@ def test_bloom_snapshot_dedup_exact_under_heavy_collisions(spark):
         map(tuple, D.incremental_new_docs(new, old).collect())
     )
     for m_bits, k in ((64, 2), (1 << 16, 4)):
-        got = sorted(
-            map(
-                tuple,
-                D.incremental_new_docs_bloom(
-                    new, old, m_bits=m_bits, k=k
-                ).collect(),
+        for variant in (
+            D.incremental_new_docs_bloom,
+            # the broadcast-back flavor (both old-side passes
+            # map-side) must agree under the same hostile sizings
+            D.incremental_new_docs_bloom_broadcast_back,
+        ):
+            got = sorted(
+                map(
+                    tuple,
+                    variant(new, old, m_bits=m_bits, k=k).collect(),
+                )
             )
-        )
-        assert got == plain, (m_bits, k)
+            assert got == plain, (variant.__name__, m_bits, k)
 
 
 def test_bloom_probe_has_no_false_negatives(spark):
