@@ -458,10 +458,15 @@ def bloom_probe(
     the build uses (:func:`_bloom_bit`/:func:`_bloom_word_mask`), so
     build/probe agreement — the no-false-negative guarantee — holds
     by construction."""
-    reserved = {flag} | {
-        f"_{p}{j}" for j in range(k) for p in ("w", "m", "word")
-    }
-    clash = sorted(reserved & set(df.columns))
+    temps = {f"_{p}{j}" for j in range(k) for p in ("w", "m", "word")}
+    if flag in temps:
+        # a flag named like a temp column would be silently dropped by
+        # the cleanup below, returning a frame with NO flag at all
+        raise ValueError(
+            f"bloom_probe flag {flag!r} collides with its own temp "
+            "column names — pick a name outside _w{j}/_m{j}/_word{j}"
+        )
+    clash = sorted(({flag} | temps) & set(df.columns))
     if clash:
         raise ValueError(
             f"bloom_probe temp/flag columns collide with input: {clash} "
@@ -548,24 +553,37 @@ def incremental_new_docs_bloom(
     path). ``pmod`` (not ``%``) keeps xxhash64's negative halves in
     [0, m).
     """
+    old_fp, clean, suspects = _bloom_screen(docs_new, docs_old, m_bits, k)
+    return clean.unionAll(suspects.join(old_fp, "fp", "left_anti"))
+
+
+def _bloom_screen(
+    docs_new: DataFrame, docs_old: DataFrame, m_bits: int, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The screen stage BOTH bloom dedup shapes share — (old_fp,
+    definitely-new clean slice, suspect slice), each slice projected
+    to (fp, keep_id, copies). One definition so the shipped
+    shuffled-verify shape and the broadcast-back variant can never
+    diverge on what was screened (the same structural-agreement
+    argument :func:`_bloom_bit` makes for the bit function; r10
+    review)."""
     new_groups = exact_dedup(docs_new)
     old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
     probed = bloom_probe(
         new_groups, bloom_words(old_fp, m_bits, k), m_bits, k
     )
-    clean = probed.filter(~F.col("_maybe")).select("fp", "keep_id", "copies")
-    suspects = (
-        probed.filter(F.col("_maybe"))
-        .select("fp", "keep_id", "copies")
-        .join(old_fp, "fp", "left_anti")
+    cols = ["fp", "keep_id", "copies"]
+    return (
+        old_fp,
+        probed.filter(~F.col("_maybe")).select(*cols),
+        probed.filter(F.col("_maybe")).select(*cols),
     )
-    return clean.unionAll(suspects)
 
 
 def incremental_new_docs_bloom_broadcast_back(
     docs_new: DataFrame,
     docs_old: DataFrame,
-    m_bits: int = 1 << 20,
+    m_bits: int = 1 << 24,
     k: int = 4,
 ) -> DataFrame:
     """The broadcast-back variant :func:`incremental_new_docs_bloom`'s
@@ -588,16 +606,17 @@ def incremental_new_docs_bloom_broadcast_back(
     rate (e.g. incremental re-crawl telemetry). Measured at
     /tmp/sfdoc1000 (5M docs) against the shipped shape: BASELINE.md
     round-10 notes.
+
+    The m_bits default is 2^24, NOT the shipped shape's 2^20: a
+    saturated sketch makes the suspect slice ~the whole new side, and
+    broadcasting that is exactly the failure this variant must avoid
+    (the shipped shuffled verify is merely slower when saturated; a
+    multi-million-row broadcast here OOMs the driver or trips the
+    broadcast-table limit). 2^24 is the measured /tmp/sfdoc1000
+    sizing (~10 bits/item at 1.67M old fps -> 1.26% suspects); size m
+    to ~10 bits per OLD fingerprint when calling (r10 review).
     """
-    new_groups = exact_dedup(docs_new)
-    old_fp = docs_old.select(F.md5(F.col("text")).alias("fp")).distinct()
-    probed = bloom_probe(
-        new_groups, bloom_words(old_fp, m_bits, k), m_bits, k
-    )
-    clean = probed.filter(~F.col("_maybe")).select("fp", "keep_id", "copies")
-    suspects = probed.filter(F.col("_maybe")).select(
-        "fp", "keep_id", "copies"
-    )
+    old_fp, clean, suspects = _bloom_screen(docs_new, docs_old, m_bits, k)
     # old fps that really exist in the suspect slice — a map-side
     # broadcast semi-join on the old scan (no old-side shuffle) ...
     hits = old_fp.join(

@@ -794,3 +794,9 @@ def test_bloom_probe_rejects_colliding_input_columns(spark):
         bloom_probe(
             fps.withColumn("hit", fps.fp), words, 64, 2, flag="hit"
         )
+    # a flag named like a temp column would be dropped by the probe's
+    # own cleanup, returning NO flag at all (r10 review finding) —
+    # rejected even when the input carries no such column
+    for bad_flag in ("_w0", "_m1", "_word0"):
+        with pytest.raises(ValueError, match="temp"):
+            bloom_probe(fps, words, 64, 2, flag=bad_flag)
