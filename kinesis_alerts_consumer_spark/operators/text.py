@@ -31,7 +31,24 @@ def _tokens(text: Column) -> Column:
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token statistics: whitespace tokens, distinct tokens,
-    chars, mean token length (BPE-ish proxy: alnum runs)."""
+    chars, mean token length (BPE-ish proxy: alnum runs).
+
+    Count-only regex terms COUNT matches instead of materializing
+    them (r10; llm08 is tokenization-bound at 308x/1000x, so per-row
+    allocation is the whole cost):
+
+    - ``regexp_count`` replaces ``size(regexp_extract_all(...))`` —
+      the old form allocated every matched substring into an array
+      just to take its length;
+    - non-whitespace char count is ``length(text) - regexp_count(
+      text, '\\s')`` instead of ``length(regexp_replace(text, '\\s+',
+      ''))`` — the old form built a stripped COPY of every document.
+      Value-identical: removing every ``\\s`` char leaves exactly
+      ``len - #\\s`` chars, and the single-char pattern advances one
+      char per match in the same Java regex engine with the same
+      ``\\s`` class, so no count/semantics drift is possible.
+    Both pinned by the llm08 oracle twin (hash-exact vs DuckDB's
+    independent SQL)."""
     docs = spread_for_compute(docs)
     toks = _tokens(F.col("text"))
     return docs.select(
@@ -42,13 +59,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
         # BPE-ish proxy: alnum runs + individual punctuation marks —
         # the sub-word unit count a byte-pair tokenizer's pre-tokenizer
         # would see (real BPE plugs in via pandas_udf if needed).
-        F.size(
-            F.regexp_extract_all(
-                F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0
-            )
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
         ).alias("n_subtokens"),
         F.round(
-            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            (F.length("text") - F.regexp_count(F.col("text"), F.lit(r"\s")))
             / F.size(toks),
             6,
         ).alias("mean_token_len"),
