@@ -419,3 +419,65 @@ def test_bloom_dedup_equals_plain_for_any_corpus_and_sizing(
         )
     )
     assert bloom == plain
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        # arbitrary unicode incl. whitespace runs, punctuation, CJK,
+        # empty — the shapes the token_stats count identities must
+        # survive (r10 rewrite: regexp_count replaced materializing
+        # forms; see operators/text.py docstring)
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "Cc")
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_stats_count_identities(spark, texts):
+    """token_stats' counting rewrites are value-identical to the
+    materializing forms they replaced: regexp_count(re) ==
+    size(regexp_extract_all(re)) and length - regexp_count('\\s') ==
+    length(regexp_replace('\\s+','')) for ANY text, including empty
+    strings, whitespace runs, unicode spaces and control chars (the
+    Java regex \\s class is shared, so drift is impossible — this
+    test pins that argument against future edits)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators.text import token_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in token_stats(df).collect()
+    }
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    old = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0
+                )
+            ).alias("n_subtokens"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                / F.size(toks),
+                6,
+            ).alias("mean_token_len"),
+        ).collect()
+    }
+    for i in got:
+        assert got[i]["n_subtokens"] == old[i]["n_subtokens"], (
+            i, texts[i], got[i], old[i],
+        )
+        assert got[i]["mean_token_len"] == old[i]["mean_token_len"], (
+            i, texts[i], got[i], old[i],
+        )
