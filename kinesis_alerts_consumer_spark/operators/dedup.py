@@ -142,6 +142,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     shingle: int = 1,
     max_bucket: int | None = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -157,6 +158,25 @@ def lsh_candidate_pairs(
     cap bounds each bucket's output at max_bucket²/2 pairs; members of
     an over-cap bucket are near-identical boilerplate better handled
     by exact dedup. ``None`` disables the cap.
+
+    **The cap is a silent recall cliff if bands are too coarse for the
+    corpus** (r10 1000× measurement): at 5M docs the default (2, 2)
+    bands hash large fractions of the corpus into a handful of
+    buckets; the cap then drops those buckets WHOLESALE — planted
+    recall fell 20/20 → 13/20 and ~56k true ≥0.5-Jaccard pairs
+    vanished with no signal. Band count must RISE with corpus size
+    (finer buckets = constant occupancy), not just to buy precision:
+    at 5M docs (4, 4) kept 20/20 planted pairs at 2.7× the wall of
+    (2, 2). ``stats``, if given, is the warning light: it receives
+    ``{"overcap_buckets": B, "dropped_members": M}`` — the number of
+    buckets the cap dropped and their total member count (bucket
+    membership slots, so a doc in two over-cap buckets counts twice)
+    — via one cheap aggregate on the over-cap slice (the
+    :func:`connected_components` ``stats`` pattern). Nonzero counts
+    mean the (bands, rows_per_band, max_bucket) sizing is eating
+    recall: raise ``bands`` first. The stats aggregate is a separate
+    action and does NOT alter the returned plan — the gated llm03
+    query (stats=None) plans byte-identically.
 
     Physical shape (r6): ONE aggregation — groupBy(bucket) ->
     collect_list(doc_id) -> size() cap filter -> explode twice for the
@@ -196,7 +216,21 @@ def lsh_candidate_pairs(
         F.collect_list("doc_id").alias("_ids")
     )
     if max_bucket is not None:
+        if stats is not None:
+            row = (
+                buckets.filter(F.size("_ids") > max_bucket)
+                .agg(
+                    F.count("*").alias("nb"),
+                    F.coalesce(F.sum(F.size("_ids")), F.lit(0)).alias("nm"),
+                )
+                .collect()[0]
+            )
+            stats["overcap_buckets"] = row["nb"]
+            stats["dropped_members"] = int(row["nm"])
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    elif stats is not None:
+        stats["overcap_buckets"] = 0
+        stats["dropped_members"] = 0
     return (
         buckets.select(F.explode("_ids").alias("a"), "_ids")
         .select("a", F.explode("_ids").alias("b"))

@@ -173,6 +173,49 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert all(a >= 100 for a, _ in got), "degenerate bucket leaked pairs"
 
 
+def test_lsh_bucket_cap_stats_warning_light(spark):
+    """The r10 1000x measurement showed max_bucket silently eating
+    recall (13/20 planted pairs at 5M docs). The ``stats`` hook is the
+    warning light: planting an over-cap bucket must fire the counters,
+    a healthy corpus must report zeros, and the returned plan must be
+    UNCHANGED by the stats pass (the gated llm03 query stays
+    hash-identical)."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(20)]
+    rows += [(100, "a genuinely unique document about spark engines"),
+             (101, "a genuinely unique document about spark engines!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict = {}
+    with_stats = lsh_candidate_pairs(docs, shingle=1, max_bucket=8, stats=stats)
+    # 20 identical docs share every band bucket -> bands(=2) over-cap
+    # buckets, each holding >= 20 member slots
+    assert stats["overcap_buckets"] >= 1, stats
+    assert stats["dropped_members"] >= 20, stats
+
+    # the stats pass must not touch the returned plan
+    plain = lsh_candidate_pairs(docs, shingle=1, max_bucket=8)
+    assert with_stats.sameSemantics(plain)
+    assert {(r.a, r.b) for r in with_stats.collect()} == {
+        (r.a, r.b) for r in plain.collect()
+    }
+
+    # healthy corpus: zeros (both with the cap on and with cap=None)
+    healthy = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    hstats: dict = {}
+    lsh_candidate_pairs(healthy, shingle=1, max_bucket=8, stats=hstats)
+    assert hstats == {"overcap_buckets": 0, "dropped_members": 0}
+    nstats: dict = {}
+    lsh_candidate_pairs(healthy, shingle=1, max_bucket=None, stats=nstats)
+    assert nstats == {"overcap_buckets": 0, "dropped_members": 0}
+
+
 def test_embedding_bucket_cap_bounds_degenerate_buckets(spark):
     """30 constant negative vectors share one sign-pattern bucket; the
     cap drops that bucket instead of verifying C(n,2) cosine pairs
