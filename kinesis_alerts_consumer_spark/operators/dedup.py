@@ -426,11 +426,17 @@ def _bloom_bit(j: int, m_bits: int) -> Column:
     )
 
 
-def _bloom_word_mask(bit: Column) -> tuple[Column, Column]:
-    """(word index, single-bit mask) for a non-negative bit position:
-    ``w = bit >> 6`` (== bit div 64 for pmod output) and
-    ``mask = 1L << (bit % 64)``. Shared build/probe helper — see
+def _bloom_word_mask(bit: Column, m_bits: int) -> tuple[Column, Column]:
+    """(word index, single-bit mask) for a bit position: ``w = bit >>
+    6`` and ``mask = 1L << (bit % 64)``. The helper pmods ``bit`` into
+    [0, m_bits) itself (idempotent for :func:`_bloom_bit` output, one
+    cheap modulo otherwise), so the non-negativity the shiftright
+    word-index math needs is STRUCTURAL, not a docstring precondition:
+    a future caller passing a raw xxhash64 value can no longer
+    silently corrupt word indices and break the no-false-negative
+    guarantee (ADVICE r10). Shared build/probe helper — see
     :func:`_bloom_bit`."""
+    bit = F.pmod(bit, F.lit(m_bits))
     return (
         F.shiftright(bit, 6),
         F.call_function(
@@ -463,7 +469,7 @@ def bloom_words(fps: DataFrame, m_bits: int, k: int) -> DataFrame:
     function registry — probed r9); this is the same pattern made
     explicit, tunable, and reusable across stages.
     """
-    w, mask = _bloom_word_mask(F.col("bit"))
+    w, mask = _bloom_word_mask(F.col("bit"), m_bits)
     return (
         fps.select(
             F.explode(
@@ -509,7 +515,7 @@ def bloom_probe(
     out = df
     flags = []
     for j in range(k):
-        w, mask = _bloom_word_mask(_bloom_bit(j, m_bits))
+        w, mask = _bloom_word_mask(_bloom_bit(j, m_bits), m_bits)
         out = out.withColumn(f"_w{j}", w).withColumn(f"_m{j}", mask)
         out = out.join(
             F.broadcast(
@@ -619,6 +625,7 @@ def incremental_new_docs_bloom_broadcast_back(
     docs_old: DataFrame,
     m_bits: int = 1 << 24,
     k: int = 4,
+    max_broadcast_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """The broadcast-back variant :func:`incremental_new_docs_bloom`'s
     docstring describes — for when the suspect slice is KNOWN-SMALL
@@ -649,8 +656,32 @@ def incremental_new_docs_bloom_broadcast_back(
     broadcast-table limit). 2^24 is the measured /tmp/sfdoc1000
     sizing (~10 bits/item at 1.67M old fps -> 1.26% suspects); size m
     to ~10 bits per OLD fingerprint when calling (r10 review).
+
+    ``max_broadcast_rows`` makes the known-small precondition ENFORCED
+    rather than documented (ADVICE r10): before broadcasting, one
+    bounded probe — ``suspects.limit(N+1).count()`` (a LocalLimit
+    early-stop, no rows ship to the driver) — raises a clear
+    ValueError naming the shuffled-verify fallback when the slice
+    exceeds the budget, instead of an under-sized ``m_bits`` or a
+    high dup rate surfacing as a driver OOM / broadcast-limit failure
+    mid-job. The probe costs one extra screen pass; callers with
+    trusted telemetry pass ``None`` to skip it. The default budget
+    (4M rows × ~50 B/row ≈ 200 MB) sits inside a 1 GiB driver's
+    broadcast comfort.
     """
     old_fp, clean, suspects = _bloom_screen(docs_new, docs_old, m_bits, k)
+    if max_broadcast_rows is not None:
+        probe = suspects.limit(max_broadcast_rows + 1).count()
+        if probe > max_broadcast_rows:
+            raise ValueError(
+                f"suspect slice exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}: the broadcast-back variant "
+                "would OOM the driver or trip the broadcast-table "
+                "limit. Raise m_bits (size ~10 bits per OLD "
+                "fingerprint), or use incremental_new_docs_bloom / "
+                "incremental_new_docs — the shuffled verify is "
+                "robust to any dup rate."
+            )
     # old fps that really exist in the suspect slice — a map-side
     # broadcast semi-join on the old scan (no old-side shuffle) ...
     hits = old_fp.join(

@@ -28,6 +28,7 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -90,6 +91,26 @@ class MetricsSink:
     submit_dd: Callable[[DataFrame], None] | None = None
     submit_cw: Callable[[DataFrame], None] | None = None
 
+    def __post_init__(self) -> None:
+        # The staging/stale-partition cleanup below is LOCAL-FS-only
+        # (shutil/os.path); on an object-store out_dir those deletes
+        # silently no-op and stage dirs accumulate unbounded, and
+        # exactly-once replay silently degrades (stale partitions
+        # survive). Enforce the assumption instead of documenting it
+        # (ADVICE r10): reject URI schemes the cleanup can't delete.
+        m = re.match(r"^([a-z][a-z0-9+.-]*)://", self.out_dir)
+        if m and m.group(1) != "file":
+            raise ValueError(
+                f"MetricsSink out_dir {self.out_dir!r} uses scheme "
+                f"{m.group(1)!r}, but staging cleanup is local-fs-only "
+                "(shutil) — stage dirs and stale batch partitions "
+                "would silently accumulate. Use a local path, or "
+                "route deletes through the store's prefix-delete API "
+                "before enabling object-store output."
+            )
+        if m:  # file:// — strip so os.path/shutil and Spark agree
+            self.out_dir = self.out_dir[len("file://"):]
+
     def _path(self, *parts: str) -> str:
         return os.path.join(self.out_dir, *parts)
 
@@ -150,10 +171,9 @@ class MetricsSink:
         # radius as _write_idempotent on replay: a re-run batch
         # rewrites its own stage dir first.
         # Staging cleanup is LOCAL-FS-only (shutil/os.path), the same
-        # assumption _write_idempotent's stale-partition delete makes:
-        # on an object-store out_dir the rmtree silently no-ops and
-        # stage dirs would accumulate — an object-store deployment
-        # must swap these for the store's prefix-delete API. The
+        # assumption _write_idempotent's stale-partition delete makes;
+        # __post_init__ REJECTS non-local out_dir schemes so this can
+        # never silently no-op on an object store (ADVICE r10). The
         # staging write itself sits INSIDE the try (ADVICE r9): a
         # failed write/read-back otherwise leaked its stage dir until
         # the same batch_id happened to replay.

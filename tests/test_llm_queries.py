@@ -792,6 +792,40 @@ def test_bloom_snapshot_dedup_exact_under_heavy_collisions(spark):
             assert got == plain, (variant.__name__, m_bits, k)
 
 
+def test_bloom_broadcast_back_guards_suspect_slice(spark):
+    """The broadcast-back variant's known-small precondition is
+    enforced (ADVICE r10): a suspect slice over max_broadcast_rows
+    raises a clear error naming the shuffled-verify fallback instead
+    of broadcasting toward a driver OOM; None skips the probe."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i % 37} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    # 64-bit sketch saturates -> every distinct new fp is a suspect
+    with pytest.raises(ValueError, match="shuffled verify"):
+        D.incremental_new_docs_bloom_broadcast_back(
+            new, old, m_bits=64, k=2, max_broadcast_rows=3
+        )
+    # None disables the guard; result still exact
+    plain = sorted(map(tuple, D.incremental_new_docs(new, old).collect()))
+    got = sorted(map(tuple, D.incremental_new_docs_bloom_broadcast_back(
+        new, old, m_bits=64, k=2, max_broadcast_rows=None
+    ).collect()))
+    assert got == plain
+    # a budget the slice fits under passes through
+    got2 = sorted(map(tuple, D.incremental_new_docs_bloom_broadcast_back(
+        new, old, m_bits=64, k=2, max_broadcast_rows=1000
+    ).collect()))
+    assert got2 == plain
+
+
 def test_bloom_probe_has_no_false_negatives(spark):
     """Every fp inserted into the bitmap must probe positive — the
     property the definitely-new fast path's correctness rests on."""
@@ -810,6 +844,34 @@ def test_bloom_probe_has_no_false_negatives(spark):
     assert probed.filter(F.col("_maybe")).count() == 500
     # and the probe columns are cleaned up
     assert set(probed.columns) == {"fp", "_maybe"}
+
+
+def test_bloom_word_mask_safe_for_raw_hash_input(spark):
+    """_bloom_word_mask pmods its input into [0, m_bits) itself
+    (ADVICE r10): a caller passing a RAW xxhash64 value — negative
+    half included — must get the same (word, mask) as one who
+    pre-pmods, instead of silently corrupted negative word indices."""
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        _bloom_word_mask,
+    )
+
+    m_bits = 1 << 12
+    raw = spark.createDataFrame(
+        [(h,) for h in (-1, -(1 << 62), 0, 63, 64, (1 << 62) + 7)],
+        "h long",
+    )
+    w_raw, m_raw = _bloom_word_mask(F.col("h"), m_bits)
+    w_pre, m_pre = _bloom_word_mask(F.pmod(F.col("h"), F.lit(m_bits)), m_bits)
+    rows = raw.select(
+        w_raw.alias("wr"), m_raw.alias("mr"),
+        w_pre.alias("wp"), m_pre.alias("mp"),
+    ).collect()
+    for r in rows:
+        assert r.wr == r.wp and r.mr == r.mp, r
+        assert 0 <= r.wr < m_bits // 64
+        assert r.mr != 0
 
 
 def test_bloom_probe_rejects_colliding_input_columns(spark):

@@ -308,6 +308,25 @@ def test_volume_processing_time_vs_event_time(spark, tmp_path):
     assert by_hour == {18: 3, 19: 1}
 
 
+def test_metrics_sink_rejects_object_store_out_dir(tmp_path):
+    """The sink's staging/stale-partition cleanup is local-fs shutil;
+    an object-store out_dir must fail at CONSTRUCTION (ADVICE r10),
+    not silently leak stage dirs. file:// is local and accepted."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.streaming.sinks import MetricsSink
+
+    for uri in ("s3://bucket/metrics", "s3a://bucket/m", "gs://b/m",
+                "abfss://c@a.dfs.example/m", "hdfs://nn/metrics"):
+        with pytest.raises(ValueError, match="local"):
+            MetricsSink(out_dir=uri)
+    # local paths and file:// pass; file:// is normalized so shutil
+    # and Spark address the same directory
+    assert MetricsSink(out_dir=str(tmp_path)).out_dir == str(tmp_path)
+    sink = MetricsSink(out_dir=f"file://{tmp_path}/out")
+    assert sink.out_dir == f"{tmp_path}/out"
+
+
 def test_metrics_sink_idempotent_replay(spark, tmp_path):
     """foreachBatch re-runs a failed micro-batch with the SAME
     batch_id; the sink must not double-deliver. Same batch_id twice ->
