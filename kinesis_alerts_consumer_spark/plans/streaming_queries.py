@@ -190,6 +190,25 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the native parquet sink (exactly-once via its commit log);
     session state is pinned to RocksDB. sf100: heap OOM -> runs.
 
+    r11 shape (VERDICT r10 item 3): the sentinel rides its OWN
+    one-row scratch dir as a second file-stream source unioned with
+    the source dir — r10's A/B named the former whole-source scratch
+    copy (batch read+rewrite of every column) a dominant term, and
+    this deletes it: the only batch touch of the source left is the
+    single-column max(ts) scan, the streaming scan reads (ts,
+    user_id) straight off the original file, and scratch disk no
+    longer scales with the source. availableNow snapshots both
+    sources into the same first micro-batch, so the post-batch
+    watermark passes every real session exactly as before
+    (equivalence + no-src-copy structure pinned in
+    tests/test_streaming.py::
+    test_st02_sentinel_only_scratch_flushes_all_sessions).
+    Interleaved same-host A/B, fresh JVM per sample, /tmp/sf100
+    (100M events), 3v3: old 249.4/231.9/224.9 (mean 235.4) vs new
+    239.4/201.4/199.8 (mean 213.5) — new wins every adjacent pair,
+    −9.3% mean; sf0.1 3v3 neutral (10.6 vs 10.3 mean — the copy is
+    tiny there).
+
     State partitioning is sized to STATE VOLUME via
     :func:`..streaming.aggregates.state_partitions_for` (the
     st07/st08 precedent, VERDICT r9 item 2): session-window state
@@ -204,8 +223,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mean 232.7) — adjacent pairs split 2-2, means within 4%, inside
     the host band. sf0.1 (3v3): 11.9/12.0/14.0 vs floored-8
     10.7/11.0/20.2 — same story. Dominant terms the partition count
-    never touches: the 2 GB sentinel src copy (batch read+rewrite of
-    the whole source), the session-window MERGE work (per-key sort/
+    never touches: the sentinel src copy (ELIMINATED in r11 — see the
+    shape note above), the session-window MERGE work (per-key sort/
     coalesce of session ranges, CPU-bound per row, unlike st08's
     O(1)-per-key dedup lookups), and the final 33M-row ordered
     drain. The wiring is kept: measured cost-neutral here, same
@@ -218,10 +237,16 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     root = _new_scratch(_ST02_DIRS, "st02_sessions_")
-    src = os.path.join(root, "src")
+    sent_dir = os.path.join(root, "sentinel")
     events = load_table(spark, sf_dir, "events")
     id_type = dict(zip(events.schema.names,
                        [f.dataType for f in events.schema.fields]))
+    # The sentinel alone goes to scratch (one row); the real events
+    # stream straight from the source dir. r10's A/B named the former
+    # whole-source copy (batch read+rewrite of every column into
+    # scratch) as a dominant term — this shape deletes it entirely.
+    # The only remaining batch touch of the source is the max(ts)
+    # aggregate, a single-column column-pruned scan.
     sentinel = (
         events.limit(1)
         .crossJoin(events.agg(F.max("ts").alias("_mx")))
@@ -229,13 +254,24 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("event_id", F.lit(-1).cast(id_type["event_id"]))
         .withColumn("user_id", F.lit(-1).cast(id_type["user_id"]))
         .drop("_mx")
-    )
-    events.unionByName(sentinel).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .parquet(src)
+        .select(*events.schema.names)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    sentinel.write.mode("overwrite").parquet(sent_dir)
+    # Two file-stream sources unioned into one replay: the bounded
+    # source (same normalization as every other st query) plus the
+    # one-row sentinel dir. availableNow snapshots both sources; the
+    # union batch carries the sentinel, so the post-batch watermark
+    # passes every real session exactly as the single-dir form did.
+    real = stream_events(spark, sf_dir)
+    sent_stream = spark.readStream.schema(
+        spark.read.parquet(sent_dir).schema
+    ).parquet(sent_dir)
+    if dict(sent_stream.dtypes).get("ts") != "timestamp":
+        sent_stream = sent_stream.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    stream = real.unionByName(sent_stream)
     # conf override scoped to the stream start and restored after,
     # inside try/finally so a failed start cannot leak it (st07 shape)
     prev = spark.conf.get("spark.sql.shuffle.partitions")

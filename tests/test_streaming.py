@@ -897,3 +897,42 @@ def test_st08_restores_shuffle_conf_on_source_failure(
         fn(spark, str(tmp_path / "no_such_sf_dir")).collect()
     assert seen["during"] == "13", "override never engaged before failure"
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_st02_sentinel_only_scratch_flushes_all_sessions(spark):
+    """r11 shape pin: q_stream_sessions stages ONLY the one-row
+    sentinel to scratch and replays the source dir + sentinel dir as
+    two unioned file-stream sources (the r10 A/B named the former
+    whole-source copy a dominant term; this shape deletes it). Two
+    claims, both load-bearing:
+
+    - equivalence: the append-mode emission still matches the batch
+      gaps-and-islands sessionization exactly — a sentinel landing in
+      a later batch, or a source the availableNow snapshot missed,
+      would silently truncate the session tail rather than error;
+    - structure: the scratch root holds a one-row sentinel dir and NO
+      whole-source copy (the old shape's ``src``), so scratch disk no
+      longer scales with the source.
+    """
+    import kinesis_alerts_consumer_spark.plans.streaming_queries as sq
+
+    register_tables(spark, SF_SMOKE)
+    got = [
+        (r.user_id, r.session_start, r.n)
+        for r in sq.q_stream_sessions(spark, SF_SMOKE).collect()
+    ]
+    want = [
+        (r.user_id, r.session_start, r.n)
+        for r in spark.sql(sq.SQL_STREAM_SESSIONS).collect()
+    ]
+    assert len(got) > 0 and got == want
+
+    roots = [d for d in sq._ST02_DIRS
+             if os.path.basename(d).startswith("st02_sessions_")
+             and "out" not in os.path.basename(d)]
+    assert roots, sq._ST02_DIRS
+    root = roots[-1]
+    assert not os.path.exists(os.path.join(root, "src"))
+    sent = spark.read.parquet(os.path.join(root, "sentinel"))
+    rows = sent.collect()
+    assert len(rows) == 1 and rows[0].user_id == -1
