@@ -177,6 +177,9 @@ def lsh_candidate_pairs(
     recall: raise ``bands`` first. The stats aggregate is a separate
     action and does NOT alter the returned plan — the gated llm03
     query (stats=None) plans byte-identically.
+    :func:`suggest_lsh_sizing` derives a corpus-size-aware
+    (bands, rows_per_band) from the occupancy + recall inequalities;
+    use it instead of hand-picking once ``n_docs`` moves.
 
     Physical shape (r6): ONE aggregation — groupBy(bucket) ->
     collect_list(doc_id) -> size() cap filter -> explode twice for the
@@ -238,6 +241,112 @@ def lsh_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def lsh_band_recall(
+    threshold: float, bands: int, rows_per_band: int
+) -> float:
+    """P(a pair at Jaccard ``threshold`` shares at least one band
+    bucket) — the standard MinHash-LSH S-curve ``1 - (1 - t^r)^b``
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+    Exact for MinHash signatures; use it to check what a proposed
+    (bands, rows_per_band) actually promises before paying for it."""
+    import math
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError("bands and rows_per_band must be >= 1")
+    p = threshold ** rows_per_band
+    if p >= 1.0:
+        return 1.0
+    # expm1/log1p form: the naive (1 - p)**b collapses to 0 once p
+    # drops under double epsilon (~1e-16) even when b*p is large
+    return -math.expm1(bands * math.log1p(-p))
+
+
+def suggest_lsh_sizing(
+    n_docs: int,
+    threshold: float = 0.8,
+    target_recall: float = 0.95,
+    background_sim: float = 0.1,
+    max_bucket: int = 64,
+) -> tuple[int, int]:
+    """Corpus-size-aware (bands, rows_per_band) for
+    :func:`lsh_candidate_pairs` — the productized r10/r11 lesson that
+    band sizing must RISE with corpus size or ``max_bucket`` silently
+    eats recall (at 5M docs the (2, 2) default lost 7/20 planted
+    near-dups to wholesale over-cap bucket drops; (4, 4) kept 20/20).
+
+    Two inequalities, applied in order:
+
+    - **occupancy** picks ``rows_per_band``: the expected number of
+      background-similar docs co-bucketed with any given doc is
+      roughly ``n_docs * background_sim^r``; keeping that under
+      ``max_bucket`` needs
+      ``r >= ln(n_docs / max_bucket) / ln(1 / background_sim)``.
+      ``background_sim`` is a MODEL INPUT (the typical Jaccard of
+      unrelated docs in the corpus — boilerplate-heavy corpora run
+      higher); the runtime check is :func:`lsh_candidate_pairs`'s
+      ``stats`` warning light — nonzero ``overcap_buckets`` on real
+      data means the assumed background was too low, so raise it and
+      re-derive.
+    - **recall** picks ``bands`` for the chosen ``r``: inverting the
+      S-curve (:func:`lsh_band_recall`),
+      ``b >= ln(1 - target_recall) / ln(1 - threshold^r)``.
+
+    The returned sizing always satisfies
+    ``lsh_band_recall(threshold, b, r) >= target_recall`` and grows
+    ``r`` logarithmically with ``n_docs`` (constant expected bucket
+    occupancy) — e.g. defaults give (6, 4) at 500k docs and (8, 5) at
+    5M, vs the fixed (2, 2) whose buckets overflow there. Cost scales
+    with ``b * r`` signature hashes per doc; tighten
+    ``target_recall`` or ``threshold`` before growing either blindly.
+    """
+    import math
+
+    if n_docs < 1:
+        raise ValueError(f"n_docs must be >= 1, got {n_docs}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}")
+    if not 0.0 < background_sim < 1.0:
+        raise ValueError(
+            f"background_sim must be in (0, 1), got {background_sim}")
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+
+    r = 1
+    if n_docs > max_bucket:
+        r = max(1, math.ceil(
+            math.log(n_docs / max_bucket) / math.log(1.0 / background_sim)
+        ))
+    p = threshold ** r
+    if p <= 0.0:
+        # threshold^r underflowed: no finite band count reaches the
+        # target — the occupancy model forced r too high for this
+        # threshold. Raise the threshold, the background_sim estimate,
+        # or max_bucket rather than silently returning nonsense.
+        raise ValueError(
+            f"infeasible sizing: threshold**{r} underflows to 0 — "
+            "raise threshold, background_sim, or max_bucket")
+    # log1p keeps the division finite when p is tiny (1.0 - p == 1.0
+    # in doubles for p < ~1e-16, and log(1.0) == 0 would divide by 0)
+    b = max(1, math.ceil(
+        math.log(1.0 - target_recall) / math.log1p(-p)
+    ))
+    if b > 10_000_000:
+        # b*r hashes per doc at this size is never the right spend —
+        # the parameters are fighting the occupancy model, not sizing
+        # a real index
+        raise ValueError(
+            f"infeasible sizing: {b} bands to reach recall "
+            f"{target_recall} at threshold {threshold} with "
+            f"rows_per_band={r} — raise threshold, background_sim, "
+            "or max_bucket")
+    return b, r
 
 
 def jaccard_pairs(

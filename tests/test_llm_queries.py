@@ -216,6 +216,63 @@ def test_lsh_bucket_cap_stats_warning_light(spark):
     assert nstats == {"overcap_buckets": 0, "dropped_members": 0}
 
 
+def test_lsh_sizing_helper_inverts_the_s_curve():
+    """suggest_lsh_sizing productizes the r10 band-scaling lesson:
+    rows_per_band grows (logarithmically) with corpus size so bucket
+    occupancy stays constant, and bands always deliver the requested
+    S-curve recall for the chosen rows. Pure math — no Spark."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_band_recall,
+        suggest_lsh_sizing,
+    )
+
+    # the S-curve itself: exact hand-computed point + boundary cases
+    assert lsh_band_recall(1.0, 3, 4) == 1.0
+    assert lsh_band_recall(0.0, 3, 4) == 0.0
+    assert math.isclose(
+        lsh_band_recall(0.8, 4, 4), 1.0 - (1.0 - 0.8**4) ** 4)
+
+    # the r10 measurement anchor: at 5M docs the suggestion must be
+    # materially finer than the (2, 2) that lost 7/20 planted pairs
+    b5, r5 = suggest_lsh_sizing(5_000_000)
+    assert r5 >= 3 and (b5, r5) == (8, 5)
+    assert suggest_lsh_sizing(500_000) == (6, 4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**12),
+        t=st.floats(min_value=0.05, max_value=0.95),
+        rec=st.floats(min_value=0.5, max_value=0.99),
+        bg=st.floats(min_value=0.02, max_value=0.5),
+        cap=st.integers(min_value=1, max_value=4096),
+    )
+    def props(n, t, rec, bg, cap):
+        from hypothesis import assume
+
+        try:
+            b, r = suggest_lsh_sizing(
+                n, threshold=t, target_recall=rec,
+                background_sim=bg, max_bucket=cap)
+            b2, r2 = suggest_lsh_sizing(
+                n * 10, threshold=t, target_recall=rec,
+                background_sim=bg, max_bucket=cap)
+        except ValueError as exc:  # explicit infeasibility, not nonsense
+            assume("infeasible sizing" not in str(exc))
+            raise
+        assert b >= 1 and r >= 1
+        # the promised recall is actually delivered
+        assert lsh_band_recall(t, b, r) >= rec - 1e-9
+        # occupancy: rows never DECREASE when the corpus grows 10x
+        assert r2 >= r
+
+    props()
+
+
 def test_embedding_bucket_cap_bounds_degenerate_buckets(spark):
     """30 constant negative vectors share one sign-pattern bucket; the
     cap drops that bucket instead of verifying C(n,2) cosine pairs
