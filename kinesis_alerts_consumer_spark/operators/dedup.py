@@ -302,6 +302,18 @@ def suggest_lsh_sizing(
     5M, vs the fixed (2, 2) whose buckets overflow there. Cost scales
     with ``b * r`` signature hashes per doc; tighten
     ``target_recall`` or ``threshold`` before growing either blindly.
+
+    MEASURED (r11, scripts/lsh_recall_probe.py at 5M docs, planted
+    pairs at the default threshold's similarity J3≈0.83): the
+    suggested (8, 5) delivered **19/20 planted recall** — the >=0.95
+    promise — where the fixed (2, 2) got 17/20; uncapping (2, 2) to
+    max_bucket=1024 bought only 18/20 (its S-curve ceiling at this J)
+    at a **275x candidate explosion** (2.05M -> 562M pairs), so finer
+    bands, not a bigger cap, are the remedy the warning light should
+    trigger. Caveat the probe also measured: the promise applies AT
+    its threshold — pairs planted at J3≈0.6 sit below the default 0.8
+    and neither sizing owes them recall (S-curve math, not a defect);
+    derive the sizing at the threshold you verify at.
     """
     import math
 
@@ -318,9 +330,14 @@ def suggest_lsh_sizing(
     if max_bucket < 1:
         raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
 
-    r = 1
+    # rows are floored at 2: a 1-row band's value is a single global
+    # minhash, and heavy-tailed token frequencies collapse its buckets
+    # regardless of corpus size — measured (r11 probe, 540 unigram
+    # docs): a (2, 1) sizing put 966 of 1080 bucket-member slots into
+    # over-cap buckets and planted recall fell to 2/20
+    r = 2
     if n_docs > max_bucket:
-        r = max(1, math.ceil(
+        r = max(2, math.ceil(
             math.log(n_docs / max_bucket) / math.log(1.0 / background_sim)
         ))
     p = threshold ** r
