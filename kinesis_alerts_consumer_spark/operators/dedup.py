@@ -171,8 +171,15 @@ def lsh_candidate_pairs(
     ``{"overcap_buckets": B, "dropped_members": M}`` — the number of
     buckets the cap dropped and their total member count (bucket
     membership slots, so a doc in two over-cap buckets counts twice)
-    — via one cheap aggregate on the over-cap slice (the
-    :func:`connected_components` ``stats`` pattern). Nonzero counts
+    — via an aggregate over the over-cap slice (the
+    :func:`connected_components` ``stats`` pattern). The aggregate is
+    narrow but it is a SEPARATE ACTION with no cache between it and
+    the returned plan: executing both re-runs the signature/bucket
+    stages, i.e. the diagnostic costs roughly one extra
+    candidate-stage pass (kept uncached on purpose — a persist here
+    would change the returned plan, which must stay byte-identical to
+    the stats=None form). Turn it on for sizing audits, not for every
+    production run. Nonzero counts
     mean the (bands, rows_per_band, max_bucket) sizing is eating
     recall: raise ``bands`` first. The stats aggregate is a separate
     action and does NOT alter the returned plan — the gated llm03
@@ -790,15 +797,24 @@ def incremental_new_docs_bloom_broadcast_back(
     ValueError naming the shuffled-verify fallback when the slice
     exceeds the budget, instead of an under-sized ``m_bits`` or a
     high dup rate surfacing as a driver OOM / broadcast-limit failure
-    mid-job. The probe costs one extra screen pass; callers with
-    trusted telemetry pass ``None`` to skip it. The default budget
-    (4M rows × ~50 B/row ≈ 200 MB) sits inside a 1 GiB driver's
-    broadcast comfort.
+    mid-job. With the guard on, the suspect slice is PERSISTED before
+    the probe (r11 review: the probe would otherwise re-run the whole
+    bloom screen, and the returned plan consumes suspects twice more —
+    three screen executions for a slice whose entire premise is being
+    small): one compute, cached reads after, ≤ the broadcast budget
+    by construction. The cache lives until the session drops it —
+    ``.unpersist()`` the result's source after consuming if the
+    session is long-lived. Callers with trusted telemetry pass
+    ``None`` to skip both the probe and the persist (prior behavior).
+    The default budget (4M rows × ~50 B/row ≈ 200 MB) sits inside a
+    1 GiB driver's broadcast comfort.
     """
     old_fp, clean, suspects = _bloom_screen(docs_new, docs_old, m_bits, k)
     if max_broadcast_rows is not None:
+        suspects = suspects.persist()
         probe = suspects.limit(max_broadcast_rows + 1).count()
         if probe > max_broadcast_rows:
+            suspects.unpersist(blocking=False)
             raise ValueError(
                 f"suspect slice exceeds max_broadcast_rows="
                 f"{max_broadcast_rows}: the broadcast-back variant "

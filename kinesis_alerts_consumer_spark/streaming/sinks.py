@@ -98,8 +98,13 @@ class MetricsSink:
         # exactly-once replay silently degrades (stale partitions
         # survive). Enforce the assumption instead of documenting it
         # (ADVICE r10): reject URI schemes the cleanup can't delete.
-        m = re.match(r"^([a-z][a-z0-9+.-]*)://", self.out_dir)
-        if m and m.group(1) != "file":
+        # Any scheme prefix counts (r11 review: the first `://`-only
+        # regex let the common Hadoop single-slash form `file:/path`,
+        # uppercase schemes, and `s3:/bucket` slip through to the
+        # exact silent-leak path the guard exists to close). Schemes
+        # are case-insensitive per RFC 3986.
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", self.out_dir)
+        if m and m.group(1).lower() != "file":
             raise ValueError(
                 f"MetricsSink out_dir {self.out_dir!r} uses scheme "
                 f"{m.group(1)!r}, but staging cleanup is local-fs-only "
@@ -108,8 +113,21 @@ class MetricsSink:
                 "route deletes through the store's prefix-delete API "
                 "before enabling object-store output."
             )
-        if m:  # file:// — strip so os.path/shutil and Spark agree
-            self.out_dir = self.out_dir[len("file://"):]
+        if m:  # file URI — resolve so os.path/shutil and Spark agree
+            rest = self.out_dir[len(m.group(0)):]
+            if rest.startswith("//"):
+                # file://authority/path — only a local authority can
+                # back shutil deletes
+                authority, sep, path = rest[2:].partition("/")
+                if authority not in ("", "localhost"):
+                    raise ValueError(
+                        f"MetricsSink out_dir {self.out_dir!r} names "
+                        f"remote file authority {authority!r}; staging "
+                        "cleanup is local-fs-only."
+                    )
+                self.out_dir = "/" + path
+            else:  # file:/path (Hadoop's usual single-slash form)
+                self.out_dir = rest
 
     def _path(self, *parts: str) -> str:
         return os.path.join(self.out_dir, *parts)

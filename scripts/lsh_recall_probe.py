@@ -7,8 +7,11 @@ the derived (bands, rows_per_band) hold recall where the fixed (2, 2)
 drops it?).
 
 Protocol (the r9/r10 sfdoc lever protocol, now committed instead of
-ad-hoc): plant 20 near-dup pairs by mutating every 12th token of the
-20 lowest-doc_id documents (mutant doc_id = original + 10^11 — BEYOND the corpus id space:
+ad-hoc): plant 20 near-dup pairs by mutating every Nth token of 20
+seed documents spread across the corpus by doc_id hash (NOT the 20
+lowest ids — those all land in replica 0 and share boilerplate
+clusters that depress recall for every sizing; mutant doc_id =
+original + 10^11 — BEYOND the corpus id space:
 make_scale_data replica offsets reach ~10^10, and a 10^9 offset
 collides with the id of the seed's own replica+100 twin, silently
 aliasing two texts under one doc_id), run
@@ -67,7 +70,7 @@ def main() -> None:
         bands, rows = int(sys.argv[2]), int(sys.argv[3])
         source = "cli"
     else:
-        bands, rows = suggest_lsh_sizing(n_docs + 40)
+        bands, rows = suggest_lsh_sizing(n_docs + 20)
         source = "suggest_lsh_sizing"
     max_bucket = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     shingle = int(sys.argv[5]) if len(sys.argv) > 5 else 3

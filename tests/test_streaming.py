@@ -317,14 +317,22 @@ def test_metrics_sink_rejects_object_store_out_dir(tmp_path):
     from kinesis_alerts_consumer_spark.streaming.sinks import MetricsSink
 
     for uri in ("s3://bucket/metrics", "s3a://bucket/m", "gs://b/m",
-                "abfss://c@a.dfs.example/m", "hdfs://nn/metrics"):
+                "abfss://c@a.dfs.example/m", "hdfs://nn/metrics",
+                # r11 review: the `://`-only guard let these through —
+                # Hadoop single-slash URIs and RFC-3986 case-insensitive
+                # schemes must be caught too
+                "s3:/bucket/metrics", "S3A://bucket/m", "HDFS://nn/m",
+                # a remote file authority is not shutil-deletable either
+                "file://some-host/metrics"):
         with pytest.raises(ValueError, match="local"):
             MetricsSink(out_dir=uri)
-    # local paths and file:// pass; file:// is normalized so shutil
-    # and Spark address the same directory
+    # local paths and file URIs pass; file URIs are resolved so shutil
+    # and Spark address the same directory (single-slash, empty
+    # authority, and localhost forms all mean the local fs)
     assert MetricsSink(out_dir=str(tmp_path)).out_dir == str(tmp_path)
-    sink = MetricsSink(out_dir=f"file://{tmp_path}/out")
-    assert sink.out_dir == f"{tmp_path}/out"
+    for uri in (f"file://{tmp_path}/out", f"file:{tmp_path}/out",
+                f"file://localhost{tmp_path}/out"):
+        assert MetricsSink(out_dir=uri).out_dir == f"{tmp_path}/out", uri
 
 
 def test_metrics_sink_idempotent_replay(spark, tmp_path):
