@@ -580,6 +580,7 @@ def semantic_dedup(
     target_cluster: int = 32,
     max_bucket: int | None = 1024,
     id_col: str = "vec_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -600,11 +601,21 @@ def semantic_dedup(
     measures ~3x. Within-bucket pair volume stays ~n·sign_bits
     (constant occupancy via adaptive bits); over-cap buckets are
     excluded by broadcast anti-join (degenerate-embedding guard).
+
+    ``stats``, if given, receives ``{"sign_bits": k,
+    "overcap_buckets": B, "dropped_members": M}`` — the same silent-
+    cap warning light as :func:`..operators.dedup.
+    embedding_near_dup_pairs` (VERDICT r11 item 5; see that docstring
+    for the 1M-vector measurement). A SEPARATE aggregate action; the
+    returned plan stays byte-identical (the gated llm27 query passes
+    stats=None and its hash is pinned by sameSemantics in the test).
     """
     from .dedup import adaptive_sign_bits
 
     if sign_bits is None:
         sign_bits = adaptive_sign_bits(emb.count(), target_cluster)
+    if stats is not None:
+        stats["sign_bits"] = sign_bits
     sig = F.concat_ws(
         "",
         *[
@@ -617,13 +628,23 @@ def semantic_dedup(
         id_col, "embedding", sig.alias("cluster")
     )
     if max_bucket is not None:
-        bad = (
+        over = (
             members.groupBy("cluster")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_bucket)
-            .select("cluster")
         )
+        if stats is not None:
+            row = over.agg(
+                F.count("*").alias("nb"),
+                F.coalesce(F.sum("_df"), F.lit(0)).alias("nm"),
+            ).collect()[0]
+            stats["overcap_buckets"] = row["nb"]
+            stats["dropped_members"] = int(row["nm"])
+        bad = over.select("cluster")
         members = members.join(F.broadcast(bad), "cluster", "left_anti")
+    elif stats is not None:
+        stats["overcap_buckets"] = 0
+        stats["dropped_members"] = 0
     l, r = members.alias("l"), members.alias("r")
     dominated = (
         l.join(

@@ -1438,6 +1438,67 @@ GROUP BY fp ORDER BY fp
 """
 
 
+def q_hyperplane_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm39 — banded random-hyperplane LSH near-dup (the r12 remedy
+    for the single-band sign-LSH's recall decay; see
+    dedup.hyperplane_lsh_pairs). Fixed literal sizing (6, 6) = the
+    suggest_hyperplane_sizing answer at the fixture's 2k vectors
+    (occupancy 2060/64 ≈ 32/bucket, S-curve recall 0.966 at cos 0.9);
+    dim=64 is the fixture embedding width, passed explicitly so the
+    per-run first() probe is skipped. Same planted base as llm27."""
+    t = _tables(spark, sf_dir)
+    return D.hyperplane_lsh_pairs(
+        _semdedup_base(t["embeddings"]),
+        bands=6, bits_per_band=6, threshold=0.9, dim=64,
+    ).orderBy("a", "b")
+
+
+def _hyperplane_sql() -> str:
+    """Oracle twin of q_hyperplane_near_dup: the ±1 coefficients are
+    the SAME plan-time hashlib literals the Spark expression embeds
+    (dedup._hyperplane_sign), the dot products sum in the same dim
+    order left-to-right, and the sign test / cap / verify mirror the
+    member-bucket machinery — bit-identical bucketing by
+    construction, no engine hash involved."""
+    from ..operators.dedup import _hyperplane_sign
+
+    dim, bands, bits = 64, 6, 6
+    band_selects = []
+    for b in range(bands):
+        bit_cases = []
+        for r in range(bits):
+            dot = "+".join(
+                f"({_hyperplane_sign(b, r, j)}"
+                f"*CAST(embedding[{j + 1}] AS DOUBLE))"
+                for j in range(dim)
+            )
+            bit_cases.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+        band_selects.append(
+            f"SELECT vec_id, embedding, "
+            f"'{b}:' || {' || '.join(bit_cases)} AS bucket FROM base"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH base AS ({_SEMDEDUP_BASE_DUCK}),
+bb AS ({banded}),
+keep AS (SELECT bucket FROM bb GROUP BY bucket HAVING COUNT(*) <= 1024),
+bf AS (SELECT bb.vec_id, bb.bucket FROM bb JOIN keep USING (bucket)),
+cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         FROM bf l JOIN bf r
+           ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+p AS (SELECT c.a, c.b,
+             {_DUCK_COS.format(a='la.embedding', b='rb.embedding')} AS cos
+      FROM cand c
+      JOIN base la ON la.vec_id = c.a
+      JOIN base rb ON rb.vec_id = c.b)
+SELECT a, b, cos FROM p WHERE cos >= 0.9 ORDER BY a, b
+"""
+
+
+SQL_HYPERPLANE_NEAR_DUP = _hyperplane_sql()
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1480,4 +1541,11 @@ LLM_QUERIES: dict[str, tuple] = {
     ),
     "llm37_domain_affinity": (q_domain_affinity, SQL_DOMAIN_AFFINITY),
     "llm38_bloom_snapshot_dedup": (q_bloom_snapshot_dedup, SQL_BLOOM_SNAPSHOT),
+    # llm39 debuted in r12 (outside the r12 window per the rotation
+    # plan; oracle-twinned in pytest + the in-session full-surface
+    # verify until its first driver row in r13+)
+    "llm39_hyperplane_near_dup": (
+        q_hyperplane_near_dup,
+        SQL_HYPERPLANE_NEAR_DUP,
+    ),
 }

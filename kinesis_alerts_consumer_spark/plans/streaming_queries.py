@@ -263,6 +263,16 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row sentinel dir. availableNow snapshots both sources; the
     # union batch carries the sentinel, so the post-batch watermark
     # passes every real session exactly as the single-dir form did.
+    #
+    # HAZARD (ADVICE r11): this correctness silently depends on
+    # availableNow reading BOTH sources in ONE micro-batch (true
+    # today: neither reader sets maxFilesPerTrigger/maxBytesPerTrigger
+    # and the default is ReadAllAvailable). If a rate limit ever
+    # reaches either reader, a sentinel-first batch advances the
+    # watermark past max(ts)+30d and every real event is dropped as
+    # late — empty output, no error. tests/test_streaming.py::
+    # test_st02_union_sources_carry_no_rate_limit pins the assumption
+    # structurally so a future rate-limit addition fails loudly.
     real = stream_events(spark, sf_dir)
     sent_stream = spark.readStream.schema(
         spark.read.parquet(sent_dir).schema

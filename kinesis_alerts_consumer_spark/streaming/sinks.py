@@ -114,6 +114,14 @@ class MetricsSink:
                 "before enabling object-store output."
             )
         if m:  # file URI — resolve so os.path/shutil and Spark agree
+            # Percent-decode the path (ADVICE r11): Hadoop/Spark decode
+            # URI escapes, so `file:///tmp/pct%20dir` writes under
+            # `/tmp/pct dir` — an undecoded self.out_dir would point
+            # shutil cleanup at a different directory, the exact silent
+            # stage-dir-leak divergence this guard closes, via encoding
+            # instead of scheme.
+            from urllib.parse import unquote
+
             rest = self.out_dir[len(m.group(0)):]
             if rest.startswith("//"):
                 # file://authority/path — only a local authority can
@@ -125,9 +133,9 @@ class MetricsSink:
                         f"remote file authority {authority!r}; staging "
                         "cleanup is local-fs-only."
                     )
-                self.out_dir = "/" + path
+                self.out_dir = unquote("/" + path)
             else:  # file:/path (Hadoop's usual single-slash form)
-                self.out_dir = rest
+                self.out_dir = unquote(rest)
 
     def _path(self, *parts: str) -> str:
         return os.path.join(self.out_dir, *parts)

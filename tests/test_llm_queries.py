@@ -216,6 +216,56 @@ def test_lsh_bucket_cap_stats_warning_light(spark):
     assert nstats == {"overcap_buckets": 0, "dropped_members": 0}
 
 
+def test_lsh_sizing_auto_is_a_gated_consumer_of_suggest(spark):
+    """VERDICT r11 item 6: ``sizing="auto"`` derives (bands,
+    rows_per_band) from approx_count_distinct(doc_id) via
+    suggest_lsh_sizing, matches the explicitly-derived call exactly,
+    reports its choice through ``stats``, and leaves the default
+    (sizing=None) plan byte-identical — the gated llm03 literal
+    sizing is untouched."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        suggest_lsh_sizing,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with shared tokens") for i in range(40)]
+        + [(100, "a genuinely unique document about spark engines"),
+           (101, "a genuinely unique document about spark engines!")],
+        "doc_id long, text string",
+    )
+    n = docs.select("doc_id").distinct().count()
+    stats: dict = {}
+    auto = lsh_candidate_pairs(docs, shingle=1, sizing="auto", stats=stats)
+    # the derivation is visible to audits...
+    assert stats["n_docs_estimate"] >= 1
+    b, r = stats["bands"], stats["rows_per_band"]
+    # ...and uses suggest_lsh_sizing on the HLL estimate (exact here:
+    # approx_count_distinct is exact at this cardinality)
+    assert (b, r) == suggest_lsh_sizing(n)
+    explicit = lsh_candidate_pairs(docs, shingle=1, bands=b, rows_per_band=r)
+    assert auto.sameSemantics(explicit)
+    assert {(x.a, x.b) for x in auto.collect()} == {
+        (x.a, x.b) for x in explicit.collect()
+    }
+    # the default path is untouched: sizing=None plans exactly as the
+    # pre-auto form (llm03's pinned (2, 2) hash-identical)
+    assert lsh_candidate_pairs(docs, shingle=1).sameSemantics(
+        lsh_candidate_pairs(docs, shingle=1, bands=2, rows_per_band=2)
+    )
+    # cap=None still derives against the default occupancy target
+    stats_nocap: dict = {}
+    lsh_candidate_pairs(
+        docs, shingle=1, sizing="auto", max_bucket=None, stats=stats_nocap
+    )
+    assert (stats_nocap["bands"], stats_nocap["rows_per_band"]) == \
+        suggest_lsh_sizing(n, max_bucket=64)
+    with pytest.raises(ValueError, match="auto"):
+        lsh_candidate_pairs(docs, sizing="bogus")
+
+
 def test_lsh_sizing_helper_inverts_the_s_curve():
     """suggest_lsh_sizing productizes the r10 band-scaling lesson:
     rows_per_band grows (logarithmically) with corpus size so bucket
@@ -298,6 +348,179 @@ def test_embedding_bucket_cap_bounds_degenerate_buckets(spark):
         emb, sign_bits=8, threshold=-1.0, max_bucket=None
     )
     assert uncapped.count() >= 30 * 29 / 2
+
+
+def test_sign_lsh_cap_stats_warning_light(spark):
+    """VERDICT r11 item 5: the sign-LSH family (embedding_near_dup /
+    semantic_dedup) shares llm03's structural hazard — the bucket cap
+    drops over-occupied buckets WHOLESALE with no signal. The
+    ``stats`` hook is the warning light: a planted over-cap bucket
+    fires the counters, a healthy corpus reports zeros, and the
+    returned plan is UNCHANGED by the stats pass (the gated llm05 /
+    llm27 queries stay hash-identical)."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [-1.0] * 8) for i in range(30)]
+    rows += [(100, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+             (101, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stats: dict = {}
+    with_stats = embedding_near_dup_pairs(
+        emb, sign_bits=8, threshold=0.9, max_bucket=10, stats=stats
+    )
+    assert stats == {"sign_bits": 8, "overcap_buckets": 1,
+                     "dropped_members": 30}
+    plain = embedding_near_dup_pairs(
+        emb, sign_bits=8, threshold=0.9, max_bucket=10
+    )
+    assert with_stats.sameSemantics(plain)
+    assert {(r.a, r.b) for r in with_stats.collect()} == {(100, 101)}
+
+    sstats: dict = {}
+    with_sstats = semantic_dedup(
+        emb, threshold=0.9, sign_bits=8, max_bucket=10, stats=sstats
+    )
+    assert sstats == {"sign_bits": 8, "overcap_buckets": 1,
+                      "dropped_members": 30}
+    assert with_sstats.sameSemantics(
+        semantic_dedup(emb, threshold=0.9, sign_bits=8, max_bucket=10)
+    )
+
+    # healthy corpus: zeros, both with the cap on and with cap=None;
+    # adaptive sizing reports the bits it chose
+    healthy = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0, -1.0]), (2, [-1.0, 1.0, -1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for kwargs in ({"max_bucket": 10}, {"max_bucket": None}):
+        h: dict = {}
+        embedding_near_dup_pairs(healthy, sign_bits=None, stats=h, **kwargs)
+        assert h["overcap_buckets"] == 0 and h["dropped_members"] == 0
+        assert h["sign_bits"] >= 1
+        s: dict = {}
+        semantic_dedup(healthy, sign_bits=None, stats=s, **kwargs)
+        assert s["overcap_buckets"] == 0 and s["dropped_members"] == 0
+        assert s["sign_bits"] >= 1
+
+
+def test_hyperplane_band_recall_and_sizing():
+    """The cosine-family S-curve helpers (r12): recall math matches
+    the MinHash helper at the per-hyperplane agreement p, the sizing
+    always satisfies its own promise, bits grow log2(n), and inputs
+    are validated."""
+    import math
+
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_band_recall,
+        lsh_band_recall,
+        suggest_hyperplane_sizing,
+    )
+
+    p = 1.0 - math.acos(0.9) / math.pi
+    assert hyperplane_band_recall(0.9, 6, 6) == lsh_band_recall(p, 6, 6)
+    # more bands can only help
+    assert hyperplane_band_recall(0.9, 12, 6) > hyperplane_band_recall(
+        0.9, 6, 6)
+    # exact duplicates always collide
+    assert hyperplane_band_recall(1.0, 1, 64) == 1.0
+
+    for n in (100, 2_000, 50_000, 1_050_000, 10_000_000):
+        b, r = suggest_hyperplane_sizing(n)
+        assert hyperplane_band_recall(0.9, b, r) >= 0.95, (n, b, r)
+        # occupancy: expected bucket size under the uniform-split
+        # model stays at/below target
+        assert n / (2 ** r) <= 32 + 1e-9, (n, b, r)
+    assert suggest_hyperplane_sizing(2_000) == (6, 6)  # llm39's literal
+    b1, r1 = suggest_hyperplane_sizing(10_000)
+    b2, r2 = suggest_hyperplane_sizing(10_000_000)
+    assert r2 > r1 and b2 >= b1
+
+    for bad in (dict(n_vecs=0), dict(n_vecs=10, threshold=1.0),
+                dict(n_vecs=10, target_recall=0.0),
+                dict(n_vecs=10, target_bucket=0)):
+        with pytest.raises(ValueError):
+            suggest_hyperplane_sizing(**bad)
+    with pytest.raises(ValueError):
+        hyperplane_band_recall(1.5, 2, 2)
+
+
+def test_hyperplane_lsh_pairs_semantics(spark):
+    """hyperplane_lsh_pairs (r12, llm39's operator): finds a planted
+    near-dup, respects the cosine threshold, fires the over-cap stats
+    light without changing the plan, supports sizing='auto' against
+    the explicit derivation, and validates its inputs."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_lsh_pairs,
+        suggest_hyperplane_sizing,
+    )
+
+    rows = [(i, [-1.0] * 8) for i in range(30)]  # one degenerate bucket
+    rows += [(100, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+             (101, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.05]),
+             (200, [4.0, -3.0, 2.0, -1.0, 4.0, -3.0, 2.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stats: dict = {}
+    got = hyperplane_lsh_pairs(
+        emb, bands=4, bits_per_band=4, threshold=0.9, max_bucket=10,
+        stats=stats)
+    pairs = {(r.a, r.b) for r in got.collect()}
+    # the planted near-dup survives; the 30 identical vectors share
+    # every band bucket, all over cap -> dropped, and the light fires
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), pairs
+    assert stats["overcap_buckets"] == 4  # one per band
+    assert stats["dropped_members"] == 120  # 30 members x 4 bands
+    # stats pass leaves the plan untouched
+    plain = hyperplane_lsh_pairs(
+        emb, bands=4, bits_per_band=4, threshold=0.9, max_bucket=10)
+    assert got.sameSemantics(plain)
+
+    # threshold is honored post-verify: the planted pair's cosine is
+    # ~0.999985, so a 0.999999 threshold must exclude it
+    strict = hyperplane_lsh_pairs(
+        emb, bands=4, bits_per_band=4, threshold=0.999999, max_bucket=10)
+    assert {(r.a, r.b) for r in strict.collect()} == set()
+
+    # sizing='auto' == the explicit suggest_hyperplane_sizing call
+    astats: dict = {}
+    auto = hyperplane_lsh_pairs(
+        emb, sizing="auto", threshold=0.9, max_bucket=10, stats=astats)
+    b, r = suggest_hyperplane_sizing(33, threshold=0.9)
+    assert (astats["bands"], astats["bits_per_band"]) == (b, r)
+    assert auto.sameSemantics(hyperplane_lsh_pairs(
+        emb, bands=b, bits_per_band=r, threshold=0.9, max_bucket=10))
+
+    with pytest.raises(ValueError, match="auto"):
+        hyperplane_lsh_pairs(emb, sizing="nope")
+    with pytest.raises(ValueError, match="dim"):
+        hyperplane_lsh_pairs(emb, dim=0)
+
+
+def test_hyperplane_signs_are_pinned():
+    """The ±1 coefficients are plan-time literals shared by the Spark
+    expression and the generated DuckDB oracle; pin a sample so a
+    hash-recipe change cannot silently diverge committed oracles."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        _hyperplane_sign,
+    )
+
+    sample = [_hyperplane_sign(0, 0, j) for j in range(8)]
+    assert sample == [-1, -1, 1, 1, 1, -1, 1, 1]
+    assert all(_hyperplane_sign(b, r, 0) in (-1, 1)
+               for b in range(3) for r in range(3))
+    # deterministic across calls
+    assert sample == [_hyperplane_sign(0, 0, j) for j in range(8)]
 
 
 def test_subword_token_counts_pluggable_tokenizer(spark):
@@ -870,17 +1093,26 @@ def test_bloom_broadcast_back_guards_suspect_slice(spark):
         D.incremental_new_docs_bloom_broadcast_back(
             new, old, m_bits=64, k=2, max_broadcast_rows=3
         )
-    # None disables the guard; result still exact
+    # None disables the guard; result still exact, no cache handle
     plain = sorted(map(tuple, D.incremental_new_docs(new, old).collect()))
-    got = sorted(map(tuple, D.incremental_new_docs_bloom_broadcast_back(
+    res = D.incremental_new_docs_bloom_broadcast_back(
         new, old, m_bits=64, k=2, max_broadcast_rows=None
-    ).collect()))
+    )
+    assert res.persisted_suspects is None
+    got = sorted(map(tuple, res.collect()))
     assert got == plain
-    # a budget the slice fits under passes through
-    got2 = sorted(map(tuple, D.incremental_new_docs_bloom_broadcast_back(
+    # a budget the slice fits under passes through, and the persisted
+    # slice is EXPOSED so long-lived sessions can release it (ADVICE
+    # r11: the cache was otherwise unreleasable short of clearCache)
+    res2 = D.incremental_new_docs_bloom_broadcast_back(
         new, old, m_bits=64, k=2, max_broadcast_rows=1000
-    ).collect()))
+    )
+    got2 = sorted(map(tuple, res2.collect()))
     assert got2 == plain
+    assert res2.persisted_suspects is not None
+    assert res2.persisted_suspects.storageLevel.useMemory
+    res2.persisted_suspects.unpersist(blocking=True)
+    assert not res2.persisted_suspects.storageLevel.useMemory
 
 
 def test_bloom_probe_has_no_false_negatives(spark):

@@ -333,6 +333,13 @@ def test_metrics_sink_rejects_object_store_out_dir(tmp_path):
     for uri in (f"file://{tmp_path}/out", f"file:{tmp_path}/out",
                 f"file://localhost{tmp_path}/out"):
         assert MetricsSink(out_dir=uri).out_dir == f"{tmp_path}/out", uri
+    # percent-escapes decode the way Hadoop/Spark decode them (ADVICE
+    # r11): an undecoded path would point shutil cleanup at a
+    # different directory than the one Spark writes
+    for uri in (f"file://{tmp_path}/pct%20dir",
+                f"file:{tmp_path}/pct%20dir",
+                f"file://localhost{tmp_path}/pct%20dir"):
+        assert MetricsSink(out_dir=uri).out_dir == f"{tmp_path}/pct dir", uri
 
 
 def test_metrics_sink_idempotent_replay(spark, tmp_path):
@@ -944,3 +951,37 @@ def test_st02_sentinel_only_scratch_flushes_all_sessions(spark):
     sent = spark.read.parquet(os.path.join(root, "sentinel"))
     rows = sent.collect()
     assert len(rows) == 1 and rows[0].user_id == -1
+
+
+def test_st02_union_sources_carry_no_rate_limit():
+    """ADVICE r11 structural pin: st02's two-source union is correct
+    ONLY because availableNow reads both file sources in one
+    micro-batch (default ReadAllAvailable). A rate limit on either
+    reader (maxFilesPerTrigger/maxBytesPerTrigger) could deliver a
+    sentinel-first batch, advance the watermark past max(ts)+30d, and
+    drop every real event as late — empty output, no error. Pin the
+    assumption at the source-text level so a future rate-limit
+    addition fails HERE with the hazard named, instead of truncating
+    silently."""
+    import inspect
+
+    import kinesis_alerts_consumer_spark.plans.streaming_queries as sq
+    import kinesis_alerts_consumer_spark.streaming.aggregates as agg
+
+    for mod in (sq, agg):
+        src = inspect.getsource(mod)
+        for opt in ("maxFilesPerTrigger", "maxBytesPerTrigger",
+                    "maxOffsetsPerTrigger"):
+            # the option NAME may appear only inside comments/strings
+            # documenting the hazard, never as a reader .option(...)
+            for line in src.splitlines():
+                if opt in line and ".option(" in line:
+                    raise AssertionError(
+                        f"{mod.__name__} sets {opt} on a streaming "
+                        "reader: st02's two-source union (and every "
+                        "availableNow equivalence replay) assumes "
+                        "whole-source single-batch reads — a "
+                        "sentinel-first batch drops every real event "
+                        "as late. Re-derive st02's sentinel plan "
+                        "before rate-limiting these readers."
+                    )
