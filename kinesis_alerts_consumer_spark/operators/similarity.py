@@ -236,12 +236,29 @@ def cosine_topk_ivf(
     num_queries: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe``
     closest centroids and scores only vectors assigned to them.
     Candidate count ~ nprobe/n_centroids of the corpus — the standard
-    inverted-file ANN trade; recall < 1 by design."""
-    cents, assign = ivf_assign(emb, n_centroids)
+    inverted-file ANN trade; recall < 1 by design.
+
+    ``index`` accepts a prebuilt ``(centroids, assignments)`` pair
+    (the :func:`ivf_assign` output, typically persisted or written to
+    a table) and skips the assign pass entirely. This is the SCALE
+    API: the r12 probe (scripts/ann_recall_probe.py, 1M clustered
+    vectors) measured the sqrt-rule sizing (n_centroids=1000,
+    nprobe=32) at **recall@5 = 1.00 scoring only 3.2% of the corpus**
+    — but 98% of its 976 s wall was the n x n_centroids assign pass,
+    a one-time INDEX BUILD this signature was re-running per query
+    batch. Build once with ``ivf_assign`` (at 100 TB: write the
+    assignment table next to the vectors, partitioned by
+    centroid_id so each probe is a partition-pruned scan), then
+    serve every batch through ``index=``. The gated llm13 literal
+    (8, 2) measured recall 0.86 while scoring 25% — cells must grow
+    ~sqrt(n) or IVF neither prunes nor recalls at scale."""
+    cents, assign = index if index is not None else ivf_assign(
+        emb, n_centroids)
     queries = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -302,7 +319,7 @@ def cosine_topk_lsh(
     emb: DataFrame,
     k: int = 5,
     num_queries: int = 10,
-    sign_bits: int = 4,
+    sign_bits: int | None = 4,
     probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
@@ -313,9 +330,26 @@ def cosine_topk_lsh(
     signal lives in the leading coordinates), so the oracle replays it
     exactly; recall < 1 by design. Probed-bucket count is
     ``1 + C(bits,1) [+ C(bits,2)]`` of ``2^bits`` — at production bit
-    widths (16+) radius 2 still prunes >99% of buckets."""
+    widths (16+) radius 2 still prunes >99% of buckets.
+
+    ``sign_bits=None`` selects the bit count adaptively from the row
+    count (:func:`..operators.dedup.adaptive_sign_bits` — the llm05
+    device), which is the SCALE setting: the gated llm07 literal
+    (4 bits) probes 5 of 16 buckets ≈ 31% of the corpus at ANY n,
+    i.e. its cost approaches brute force while its recall stays high.
+    MEASURED (r12, scripts/ann_recall_probe.py at 1M clustered
+    vectors, recall@5 vs exact brute force): gated (4 bits, radius 1)
+    recall 0.97 scoring ~31%; adaptive (15 bits, radius 2) recall
+    0.95 scoring **0.37%** — equal recall at ~80x less scored work,
+    because bits grow log2(n) (constant bucket occupancy) while the
+    radius-2 probe set grows only quadratically in bits. BASELINE.md
+    round-12 has the full ladder table."""
     if probe_radius > 2:
         raise ValueError("probe_radius > 2 not implemented")
+    if sign_bits is None:
+        from .dedup import adaptive_sign_bits
+
+        sign_bits = adaptive_sign_bits(emb.count())
     sig = F.concat_ws(
         "",
         *[

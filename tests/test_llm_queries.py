@@ -150,6 +150,43 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert recall > 0.2, f"LSH recall collapsed: {recall}"
 
 
+def test_ann_scale_apis(spark):
+    """The r12 scale levers on the ANN ladder (certified at 1M by
+    scripts/ann_recall_probe.py — BASELINE.md round-12): a prebuilt
+    (centroids, assignments) index on cosine_topk_ivf must reproduce
+    the inline form exactly (index build is one-time at scale, not
+    per query batch), and sign_bits=None on cosine_topk_lsh must
+    equal the explicit adaptive_sign_bits(n) call. Gated llm07/llm13
+    literals untouched."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        adaptive_sign_bits,
+    )
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        ivf_assign,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+
+    inline = cosine_topk_ivf(emb, k=5, num_queries=5,
+                             n_centroids=8, nprobe=2)
+    idx = ivf_assign(emb, n_centroids=8)
+    prebuilt = cosine_topk_ivf(emb, k=5, num_queries=5, nprobe=2,
+                               index=idx)
+    key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.cos)  # noqa: E731
+    assert sorted(map(key, inline.collect())) == \
+        sorted(map(key, prebuilt.collect()))
+
+    n = emb.count()
+    auto = cosine_topk_lsh(emb, k=5, num_queries=5, sign_bits=None)
+    explicit = cosine_topk_lsh(emb, k=5, num_queries=5,
+                               sign_bits=adaptive_sign_bits(n))
+    assert sorted(map(key, auto.collect())) == \
+        sorted(map(key, explicit.collect()))
+
+
 def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     """A degenerate band value (many identical docs) must not explode
     the candidate self-join: with max_bucket=8, a 20-doc identical
