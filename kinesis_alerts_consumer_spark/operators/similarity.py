@@ -514,6 +514,7 @@ def cosine_topk_pq(
     m: int = 4,
     codebook_k: int = 16,
     shortlist: int = 25,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ ANN top-k: asymmetric distance computation (ADC) over PQ
     codes, exact cosine re-rank of the shortlist.
@@ -528,9 +529,19 @@ def cosine_topk_pq(
     At 100 TB the ADC scan pairs with IVF partition pruning
     (:func:`cosine_topk_ivf`) — the standard IVFPQ split; recall < 1
     by design (measured vs :func:`cosine_topk` in tests).
+
+    ``index`` accepts a prebuilt ``(codebooks, codes)`` pair (the
+    :func:`pq_encode` output) and skips the encode pass — the same
+    one-time-index lesson the r12 ANN probe taught
+    ``cosine_topk_ivf``: codes are the durable 100 TB artifact
+    (written once, ~16x smaller than the vectors), and re-encoding
+    per query batch re-pays the n·m·codebook_k argmin scan every
+    call. The caller must pass the same ``m`` the index was built
+    with (the query-side LUT subdivision must match the codes).
     """
     sub_len = _global_sub_len(emb, m)
-    books, codes = pq_encode(emb, m, codebook_k, sub_len=sub_len)
+    books, codes = index if index is not None else pq_encode(
+        emb, m, codebook_k, sub_len=sub_len)
     queries = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )

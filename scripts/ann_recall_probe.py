@@ -36,7 +36,9 @@ Usage:
     python scripts/ann_recall_probe.py [N [DIM [K_CLUSTERS [ARMS]]]]
 Defaults: 1_000_000 24 1000 ALL (ARMS substring-selects:
 B=brute-only-sanity, I=ivf-literal, J=ivf-sqrt, L=lsh-literal,
-M=lsh-adaptive). Results in BASELINE.md round-12.
+M=lsh-adaptive, P=pq; ALL = BIJLM — P opt-in, its dim-24/m=8
+sub_len=3 differs from the dim-64 gated venue). Results in
+BASELINE.md round-12.
 """
 
 from __future__ import annotations
@@ -144,6 +146,21 @@ def main() -> None:
         arm(f"LSH adaptive ({bits} bits, r2) ~{frac:.2%} scored",
             lambda: cosine_topk_lsh(emb, k=k, num_queries=num_q,
                                     sign_bits=bits, probe_radius=2))
+    if "P" in arms:
+        from kinesis_alerts_consumer_spark.operators.similarity import (
+            cosine_topk_pq,
+        )
+
+        # PQ scans every code (100% of rows, ~16x fewer bytes): the
+        # gated llm24 sizing, then a deeper shortlist — ADC coarseness
+        # (16 centroids/subspace) is the recall limit, shortlist the
+        # recovery lever
+        arm("PQ gated (m=8,k=16,sl=200)",
+            lambda: cosine_topk_pq(emb, k=k, num_queries=num_q,
+                                   m=8, codebook_k=16, shortlist=200))
+        arm("PQ deep shortlist (m=8,k=16,sl=2000)",
+            lambda: cosine_topk_pq(emb, k=k, num_queries=num_q,
+                                   m=8, codebook_k=16, shortlist=2000))
 
 
 if __name__ == "__main__":

@@ -186,6 +186,21 @@ def test_ann_scale_apis(spark):
     assert sorted(map(key, auto.collect())) == \
         sorted(map(key, explicit.collect()))
 
+    # PQ: same one-time-index lesson — prebuilt (codebooks, codes)
+    # reproduces the inline form exactly
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+    )
+
+    pq_inline = cosine_topk_pq(emb, k=5, num_queries=5, m=4,
+                               codebook_k=16, shortlist=25)
+    pq_idx = pq_encode(emb, m=4, codebook_k=16)
+    pq_prebuilt = cosine_topk_pq(emb, k=5, num_queries=5, m=4,
+                                 shortlist=25, index=pq_idx)
+    assert sorted(map(key, pq_inline.collect())) == \
+        sorted(map(key, pq_prebuilt.collect()))
+
 
 def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     """A degenerate band value (many identical docs) must not explode
