@@ -259,20 +259,12 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         if stats is not None:
-            row = (
-                buckets.filter(F.size("_ids") > max_bucket)
-                .agg(
-                    F.count("*").alias("nb"),
-                    F.coalesce(F.sum(F.size("_ids")), F.lit(0)).alias("nm"),
-                )
-                .collect()[0]
-            )
-            stats["overcap_buckets"] = row["nb"]
-            stats["dropped_members"] = int(row["nm"])
+            _overcap_light(
+                buckets.filter(F.size("_ids") > max_bucket),
+                F.size("_ids"), stats)
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
     elif stats is not None:
-        stats["overcap_buckets"] = 0
-        stats["dropped_members"] = 0
+        _zero_light(stats)
     return (
         buckets.select(F.explode("_ids").alias("a"), "_ids")
         .select("a", F.explode("_ids").alias("b"))
@@ -403,6 +395,27 @@ def suggest_lsh_sizing(
             f"rows_per_band={r} — raise threshold, background_sim, "
             "or max_bucket")
     return b, r
+
+
+def _overcap_light(over: DataFrame, size_col, stats: dict) -> None:
+    """Fill the shared over-cap warning light (r12 review: this block
+    was copy-pasted at four sites and had already drifted on the
+    int() wrap): ``over`` is the slice of bucket rows ABOVE the cap,
+    ``size_col`` its member-count column/expression. One narrow
+    SEPARATE aggregate action; callers must keep it off the returned
+    plan (the llm03 byte-identical contract)."""
+    row = over.agg(
+        F.count("*").alias("nb"),
+        F.coalesce(F.sum(size_col), F.lit(0)).alias("nm"),
+    ).collect()[0]
+    stats["overcap_buckets"] = int(row["nb"])
+    stats["dropped_members"] = int(row["nm"])
+
+
+def _zero_light(stats: dict) -> None:
+    """The cap is off: report a clean light."""
+    stats["overcap_buckets"] = 0
+    stats["dropped_members"] = 0
 
 
 def _hyperplane_sign(band: int, bit: int, j: int) -> int:
@@ -557,13 +570,20 @@ def hyperplane_lsh_pairs(
     bucket groupBy (key = r-bit string + band index, uniform by
     construction) and the two id-keyed embedding rejoins for the
     verify. Candidate volume ~``n * b * target_bucket / 2`` — linear
-    in n at constant occupancy, never all-pairs. ``dim`` (embedding
-    width) is read from the first row when not given (one LocalLimit
-    action); pass it explicitly in hot loops.
+    in n at constant occupancy, never all-pairs. ``dim`` defaults to
+    the corpus-wide MINIMUM embedding width (one narrow aggregate —
+    the pq ``_global_sub_len`` defense: ragged corpora hash their
+    shared leading coordinates instead of NULL-collapsing short rows
+    into one degenerate bucket); pass it explicitly in hot loops.
+    Plans above ~250k unrolled terms (bands*bits*dim) are refused
+    with the JL-projection remedy named (compose with llm34's
+    ``random_projection`` for wide embeddings).
 
     ``sizing="auto"`` derives (bands, bits_per_band) from one
     ``approx_count_distinct`` action via
-    :func:`suggest_hyperplane_sizing` at ``threshold`` (the
+    :func:`suggest_hyperplane_sizing` at ``threshold``, with the
+    occupancy target tightened to the caller's ``max_bucket`` when
+    that is below the default 32 (the
     :func:`lsh_candidate_pairs` ``sizing`` contract, VERDICT r11
     item 6); ``stats`` then also receives the chosen sizing.
     """
@@ -574,20 +594,40 @@ def hyperplane_lsh_pairs(
             emb.agg(F.approx_count_distinct(id_col).alias("n"))
             .collect()[0]["n"]
         )
+        # derive occupancy against the CALLER's cap, not just the
+        # default 32 (r12 review: a cap below the derivation target
+        # would otherwise wholesale-drop TYPICAL buckets — the
+        # lsh_candidate_pairs auto path already does this)
         bands, bits_per_band = suggest_hyperplane_sizing(
-            max(1, n_vecs), threshold=threshold)
+            max(1, n_vecs), threshold=threshold,
+            target_bucket=min(32, max_bucket) if max_bucket is not None
+            else 32)
         if stats is not None:
             stats["bands"] = bands
             stats["bits_per_band"] = bits_per_band
             stats["n_vecs_estimate"] = n_vecs
     if dim is None:
-        first = emb.select(F.size("embedding").alias("d")).first()
-        if first is None:
-            dim = 1  # empty input: any plan shape works
-        else:
-            dim = int(first["d"])
+        # corpus-wide MIN width (the pq _global_sub_len defense): a
+        # first-row read would make any SHORTER row's element_at
+        # return NULL, nullify its dots, and collapse it into the
+        # all-'0' bucket of every band. With MIN, ragged corpora hash
+        # their shared leading coordinates — consistent in both
+        # engines. Callers passing dim explicitly own this contract.
+        row = emb.agg(F.min(F.size("embedding")).alias("d")).collect()[0]
+        dim = int(row["d"]) if row["d"] is not None else 1
     if dim < 1:
         raise ValueError(f"embedding dim must be >= 1, got {dim}")
+    terms = bands * bits_per_band * dim
+    if terms > 250_000:
+        raise ValueError(
+            f"hyperplane plan would unroll {terms} literal terms "
+            f"(bands={bands} * bits={bits_per_band} * dim={dim}) — "
+            "Catalyst analysis and codegen degrade well before this "
+            "(measured envelope: dim<=64 at auto sizings up to ~1M "
+            "rows). Reduce dimensionality FIRST: compose with the JL "
+            "sign projection (similarity.random_projection, llm34) "
+            "down to 16-64 dims, then band the projected vectors; or "
+            "pass a coarser explicit (bands, bits_per_band).")
 
     def _bit_expr(band: int, bit: int) -> str:
         dot = "+".join(
@@ -614,20 +654,12 @@ def hyperplane_lsh_pairs(
     )
     if max_bucket is not None:
         if stats is not None:
-            row = (
-                buckets.filter(F.size("_ids") > max_bucket)
-                .agg(
-                    F.count("*").alias("nb"),
-                    F.coalesce(F.sum(F.size("_ids")), F.lit(0)).alias("nm"),
-                )
-                .collect()[0]
-            )
-            stats["overcap_buckets"] = row["nb"]
-            stats["dropped_members"] = int(row["nm"])
+            _overcap_light(
+                buckets.filter(F.size("_ids") > max_bucket),
+                F.size("_ids"), stats)
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
     elif stats is not None:
-        stats["overcap_buckets"] = 0
-        stats["dropped_members"] = 0
+        _zero_light(stats)
     cands = (
         buckets.select(F.explode("_ids").alias("a"), "_ids")
         .select("a", F.explode("_ids").alias("b"))
@@ -1544,17 +1576,11 @@ def embedding_near_dup_pairs(
             .filter(F.col("_df") > max_bucket)
         )
         if stats is not None:
-            row = over.agg(
-                F.count("*").alias("nb"),
-                F.coalesce(F.sum("_df"), F.lit(0)).alias("nm"),
-            ).collect()[0]
-            stats["overcap_buckets"] = row["nb"]
-            stats["dropped_members"] = int(row["nm"])
+            _overcap_light(over, F.col("_df"), stats)
         bad = over.select("bucket")
         b = b.join(F.broadcast(bad), "bucket", "left_anti")
     elif stats is not None:
-        stats["overcap_buckets"] = 0
-        stats["dropped_members"] = 0
+        _zero_light(stats)
     left = b.alias("l")
     right = b.alias("r")
     pairs = left.join(

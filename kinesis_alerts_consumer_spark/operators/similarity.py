@@ -537,11 +537,24 @@ def cosine_topk_pq(
     (written once, ~16x smaller than the vectors), and re-encoding
     per query batch re-pays the n·m·codebook_k argmin scan every
     call. The caller must pass the same ``m`` the index was built
-    with (the query-side LUT subdivision must match the codes).
+    with; ``sub_len`` is READ FROM THE INDEX itself (the subspace-0
+    codebook vectors carry it), not re-derived from the query-time
+    ``emb`` — re-deriving would silently misalign every LUT slice
+    against the stored codes the moment the serving corpus's minimum
+    width drifts from the build-time one (r12 review).
     """
-    sub_len = _global_sub_len(emb, m)
-    books, codes = index if index is not None else pq_encode(
-        emb, m, codebook_k, sub_len=sub_len)
+    if index is not None:
+        books, codes = index
+        row = (
+            books.filter(F.col("subspace") == 0)
+            .select(F.size("cvec").alias("d")).first()
+        )
+        if row is None:
+            raise ValueError("prebuilt PQ index has no subspace-0 codebook")
+        sub_len = int(row["d"])
+    else:
+        sub_len = _global_sub_len(emb, m)
+        books, codes = pq_encode(emb, m, codebook_k, sub_len=sub_len)
     queries = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -679,17 +692,15 @@ def semantic_dedup(
             .filter(F.col("_df") > max_bucket)
         )
         if stats is not None:
-            row = over.agg(
-                F.count("*").alias("nb"),
-                F.coalesce(F.sum("_df"), F.lit(0)).alias("nm"),
-            ).collect()[0]
-            stats["overcap_buckets"] = row["nb"]
-            stats["dropped_members"] = int(row["nm"])
+            from .dedup import _overcap_light
+
+            _overcap_light(over, F.col("_df"), stats)
         bad = over.select("cluster")
         members = members.join(F.broadcast(bad), "cluster", "left_anti")
     elif stats is not None:
-        stats["overcap_buckets"] = 0
-        stats["dropped_members"] = 0
+        from .dedup import _zero_light
+
+        _zero_light(stats)
     l, r = members.alias("l"), members.alias("r")
     dominated = (
         l.join(

@@ -44,8 +44,21 @@ def run_once(tree: str, sf_dir: str) -> dict:
         [sys.executable, os.path.join(tree, "bench.py")],
         env=env, cwd=tree, capture_output=True, text=True, timeout=1800,
     )
-    last = out.stdout.strip().splitlines()[-1]
-    return json.loads(last)
+    # r12 review: a failed bench (missing data dir, import error,
+    # OOM) must surface its stderr instead of dying on an empty
+    # stdout and taking every prior sample with it
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py in {tree} failed (rc={out.returncode}); "
+            f"stderr tail: {out.stderr[-500:]}")
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError as exc:
+        raise RuntimeError(
+            f"bench.py in {tree} printed an unparseable last line "
+            f"{lines[-1][:200]!r}; stderr tail: {out.stderr[-300:]}"
+        ) from exc
 
 
 def main() -> None:

@@ -544,19 +544,44 @@ def test_hyperplane_lsh_pairs_semantics(spark):
         emb, bands=4, bits_per_band=4, threshold=0.999999, max_bucket=10)
     assert {(r.a, r.b) for r in strict.collect()} == set()
 
-    # sizing='auto' == the explicit suggest_hyperplane_sizing call
+    # sizing='auto' == the explicit suggest_hyperplane_sizing call,
+    # derived against the CALLER's cap (r12 review: a cap below the
+    # default occupancy target must tighten the derivation, or
+    # typical buckets get wholesale-dropped)
     astats: dict = {}
     auto = hyperplane_lsh_pairs(
         emb, sizing="auto", threshold=0.9, max_bucket=10, stats=astats)
-    b, r = suggest_hyperplane_sizing(33, threshold=0.9)
+    b, r = suggest_hyperplane_sizing(33, threshold=0.9, target_bucket=10)
     assert (astats["bands"], astats["bits_per_band"]) == (b, r)
     assert auto.sameSemantics(hyperplane_lsh_pairs(
         emb, bands=b, bits_per_band=r, threshold=0.9, max_bucket=10))
+    tight: dict = {}
+    hyperplane_lsh_pairs(
+        emb, sizing="auto", threshold=0.9, max_bucket=4, stats=tight)
+    assert (tight["bands"], tight["bits_per_band"]) == \
+        suggest_hyperplane_sizing(33, threshold=0.9, target_bucket=4)
+    assert tight["bits_per_band"] > r  # tighter cap -> finer buckets
+
+    # ragged widths: dim inference is the corpus-wide MIN, so a short
+    # row hashes its shared leading coords instead of collapsing into
+    # the all-'0' bucket via NULL dots (r12 review)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert hyperplane_lsh_pairs(
+        ragged, bands=2, bits_per_band=2, threshold=-1.0
+    ).sameSemantics(hyperplane_lsh_pairs(
+        ragged, bands=2, bits_per_band=2, threshold=-1.0, dim=3))
 
     with pytest.raises(ValueError, match="auto"):
         hyperplane_lsh_pairs(emb, sizing="nope")
     with pytest.raises(ValueError, match="dim"):
         hyperplane_lsh_pairs(emb, dim=0)
+    # the expression-size envelope fails loudly with the JL remedy
+    # named instead of stalling Catalyst on a multi-MB plan
+    with pytest.raises(ValueError, match="random_projection"):
+        hyperplane_lsh_pairs(emb, bands=100, bits_per_band=100, dim=768)
 
 
 def test_hyperplane_signs_are_pinned():

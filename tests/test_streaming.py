@@ -969,13 +969,19 @@ def test_st02_union_sources_carry_no_rate_limit():
     import kinesis_alerts_consumer_spark.streaming.aggregates as agg
 
     for mod in (sq, agg):
-        src = inspect.getsource(mod)
+        lines = inspect.getsource(mod).splitlines()
         for opt in ("maxFilesPerTrigger", "maxBytesPerTrigger",
                     "maxOffsetsPerTrigger"):
             # the option NAME may appear only inside comments/strings
-            # documenting the hazard, never as a reader .option(...)
-            for line in src.splitlines():
-                if opt in line and ".option(" in line:
+            # documenting the hazard, never as a reader .option(...).
+            # Window of +-3 lines, not same-line (r12 review: Black
+            # wraps `.option(\n    "maxFilesPerTrigger", 1)` across
+            # lines and a same-line check would wave it through).
+            for i, line in enumerate(lines):
+                if opt not in line or line.lstrip().startswith("#"):
+                    continue
+                window = "\n".join(lines[max(0, i - 3):i + 4])
+                if ".option(" in window:
                     raise AssertionError(
                         f"{mod.__name__} sets {opt} on a streaming "
                         "reader: st02's two-source union (and every "
