@@ -418,6 +418,11 @@ def _zero_light(stats: dict) -> None:
     stats["dropped_members"] = 0
 
 
+# hyperplane signs tables, one per (session, bands, bits, dim) — see
+# hyperplane_lsh_pairs
+_SIGNS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _hyperplane_sign(band: int, bit: int, j: int) -> int:
     """Deterministic ±1 hyperplane coefficient for (band, bit, dim j).
 
@@ -556,28 +561,45 @@ def hyperplane_lsh_pairs(
 
     Mechanics: hyperplane (band, bit) is the ±1 vector
     ``_hyperplane_sign(band, bit, j)`` over dims j — coefficients are
-    plan-time literals (hashlib.md5), so a SQL oracle reproduces the
-    bucketing bit-for-bit, double-precision dot products summed in
-    dim order in both engines. Band value = the r-bit sign pattern;
-    same member-list bucket machinery as :func:`lsh_candidate_pairs`
-    (one aggregation, cap filter + ``stats`` warning light, in-bucket
-    pair explosion, distinct) followed by an exact-cosine verify
-    ``>= threshold``. Returns ``(a, b, cos)`` with a < b, cosine
-    rounded to 6 places (the llm05 compare convention).
+    plan-time ``hashlib.md5`` literals shared verbatim with the SQL
+    oracle. The dot products are computed the llm02
+    explode→groupBy way, NOT as one unrolled b*r*dim projection: the
+    first cut unrolled 2304 literal terms into every stage that
+    touched the signature, and each CALL then paid 10-15 s of janino
+    on multi-MB generated sources whose fresh exprIds defeat the
+    codegen cache — a per-plan cost, independent of data size, that
+    made the 2060-row gated query cost 22 s. This form posexplodes
+    the embedding (quantized to exact integer micros,
+    ``floor(val*1e6)`` — the llm30 device, so the sums commute and
+    both engines agree bit-for-bit with NO ordering contract),
+    broadcast-joins a dim-row ±1 signs table, and computes all
+    ``b*r`` dots as map-side partial integer SUMs — generated code is
+    O(b*r), the shuffle carries one row of b*r longs per vector, and
+    the per-call plan cost is milliseconds. Band value = the r-bit
+    sign pattern of its dots; same member-list bucket machinery as
+    :func:`lsh_candidate_pairs` (one aggregation, cap filter +
+    ``stats`` warning light, in-bucket pair explosion, distinct)
+    followed by an exact-cosine verify ``>= threshold``. Returns
+    ``(a, b, cos)`` with a < b, cosine rounded to 6 places (the llm05
+    compare convention).
 
-    Scale shape: signatures are ``b*r`` unrolled dot products inside
-    one codegen'd projection (no shuffle); the only shuffles are the
-    bucket groupBy (key = r-bit string + band index, uniform by
-    construction) and the two id-keyed embedding rejoins for the
-    verify. Candidate volume ~``n * b * target_bucket / 2`` — linear
-    in n at constant occupancy, never all-pairs. ``dim`` defaults to
-    the corpus-wide MINIMUM embedding width (one narrow aggregate —
-    the pq ``_global_sub_len`` defense: ragged corpora hash their
-    shared leading coordinates instead of NULL-collapsing short rows
-    into one degenerate bucket); pass it explicitly in hot loops.
-    Plans above ~250k unrolled terms (bands*bits*dim) are refused
-    with the JL-projection remedy named (compose with llm34's
-    ``random_projection`` for wide embeddings).
+    Scale shape: the explode is scan-side (n*dim narrow rows, never
+    wider than (id, pos, q)), partial aggregation collapses them to
+    n rows of b*r longs before the only data-sized shuffles — the
+    dot groupBy and the bucket groupBy (key = r-bit string + band
+    index, uniform by construction) — plus the two id-keyed embedding
+    rejoins for the verify. Candidate volume ~``n * b *
+    target_bucket / 2`` — linear in n at constant occupancy, never
+    all-pairs. ``dim`` (the hyperplane dimensionality / signs-table
+    height) defaults to the corpus-wide MINIMUM embedding width (one
+    narrow aggregate); rows shorter than ``dim`` contribute only the
+    coordinates they have (inner join on pos — deterministic in both
+    engines), rows longer use their leading ``dim``. Sizings above
+    4096 total bits are refused with the JL-projection remedy named
+    (compose with llm34's ``random_projection``) — at that point the
+    S-curve parameters are fighting the data, not indexing it.
+    Empty/zero-width embeddings produce no dot rows and are excluded
+    from candidates (they cannot be near anything at cosine >= 0).
 
     ``sizing="auto"`` derives (bands, bits_per_band) from one
     ``approx_count_distinct`` action via
@@ -607,46 +629,74 @@ def hyperplane_lsh_pairs(
             stats["bits_per_band"] = bits_per_band
             stats["n_vecs_estimate"] = n_vecs
     if dim is None:
-        # corpus-wide MIN width (the pq _global_sub_len defense): a
-        # first-row read would make any SHORTER row's element_at
-        # return NULL, nullify its dots, and collapse it into the
-        # all-'0' bucket of every band. With MIN, ragged corpora hash
-        # their shared leading coordinates — consistent in both
-        # engines. Callers passing dim explicitly own this contract.
+        # corpus-wide MIN width (the pq _global_sub_len defense):
+        # consistent in both engines; callers passing dim explicitly
+        # own the contract documented above.
         row = emb.agg(F.min(F.size("embedding")).alias("d")).collect()[0]
         dim = int(row["d"]) if row["d"] is not None else 1
     if dim < 1:
         raise ValueError(f"embedding dim must be >= 1, got {dim}")
-    terms = bands * bits_per_band * dim
-    if terms > 250_000:
+    n_bits = bands * bits_per_band
+    if n_bits > 4096:
         raise ValueError(
-            f"hyperplane plan would unroll {terms} literal terms "
-            f"(bands={bands} * bits={bits_per_band} * dim={dim}) — "
-            "Catalyst analysis and codegen degrade well before this "
-            "(measured envelope: dim<=64 at auto sizings up to ~1M "
-            "rows). Reduce dimensionality FIRST: compose with the JL "
-            "sign projection (similarity.random_projection, llm34) "
-            "down to 16-64 dims, then band the projected vectors; or "
+            f"hyperplane sizing asks for {n_bits} bits "
+            f"(bands={bands} * bits={bits_per_band}) — beyond ~4096 "
+            "the parameters are fighting the data, not indexing it. "
+            "Reduce dimensionality FIRST: compose with the JL sign "
+            "projection (similarity.random_projection, llm34), or "
             "pass a coarser explicit (bands, bits_per_band).")
 
-    def _bit_expr(band: int, bit: int) -> str:
-        dot = "+".join(
-            f"({_hyperplane_sign(band, bit, j)}"
-            f"*CAST(element_at(embedding,{j + 1}) AS DOUBLE))"
+    # signs table: dim rows x (pos, s_0..s_{b*r-1}) — tiny, broadcast.
+    # The plan-time hashlib literals live HERE (and verbatim in the
+    # SQL oracle), not unrolled into per-stage expressions. Memoized
+    # per (session, sizing, dim) so repeated calls share ONE plan
+    # node — keeps the stats-on/off plans byte-identical
+    # (sameSemantics-pinned) and skips the rebuild.
+    spark = emb.sparkSession
+    s_cols = [f"s_{k}" for k in range(n_bits)]
+    cache_key = (id(spark), bands, bits_per_band, dim)
+    signs = _SIGNS_CACHE.get(cache_key)
+    if signs is None:
+        sign_rows = [
+            (j, *[_hyperplane_sign(b, r, j)
+                  for b in range(bands) for r in range(bits_per_band)])
             for j in range(dim)
+        ]
+        signs = spark.createDataFrame(
+            sign_rows, ", ".join(["pos int"] + [f"{c} int" for c in s_cols])
         )
-        return f"(CASE WHEN ({dot}) >= 0D THEN '1' ELSE '0' END)"
-
+        _SIGNS_CACHE[cache_key] = signs
+    # quantize to exact integer micros (llm30): integer sums commute,
+    # so the groupBy needs no ordering contract and both engines
+    # agree bit-for-bit on every sign decision
+    ex = (
+        spread_for_compute(emb)
+        .select(F.col(id_col), F.posexplode("embedding").alias("pos", "_v"))
+        .filter(F.col("pos") < dim)
+        .select(
+            id_col, "pos",
+            F.floor(F.col("_v").cast("double") * F.lit(1_000_000.0))
+            .cast("bigint").alias("_q"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(signs), "pos")
+        .groupBy(id_col)
+        .agg(*[F.sum(F.col(c) * F.col("_q")).alias(f"d_{k}")
+               for k, c in enumerate(s_cols)])
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.expr("CONCAT(" + ",".join(
-                _bit_expr(b, r) for r in range(bits_per_band)
-            ) + ")").alias("bits"),
+            F.concat(*[
+                F.when(F.col(f"d_{b * bits_per_band + r}") >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for r in range(bits_per_band)
+            ]).alias("bits"),
         )
         for b in range(bands)
     ]
-    banded = spread_for_compute(emb).select(
+    banded = dots.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
     )
     buckets = banded.groupBy("bucket").agg(

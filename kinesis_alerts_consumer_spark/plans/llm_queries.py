@@ -1455,33 +1455,46 @@ def q_hyperplane_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplane_sql() -> str:
     """Oracle twin of q_hyperplane_near_dup: the ±1 coefficients are
-    the SAME plan-time hashlib literals the Spark expression embeds
-    (dedup._hyperplane_sign), the dot products sum in the same dim
-    order left-to-right, and the sign test / cap / verify mirror the
-    member-bucket machinery — bit-identical bucketing by
-    construction, no engine hash involved."""
+    the SAME plan-time hashlib literals the Spark plan broadcasts
+    (dedup._hyperplane_sign), laid out as a VALUES signs table; dots
+    are integer-micro sums (floor(val*1e6) — the llm30 device), so
+    the GROUP BY needs no ordering contract and every sign decision
+    is bit-identical across engines; the cap / candidate / verify
+    chain mirrors the member-bucket machinery. No engine hash is
+    involved anywhere."""
     from ..operators.dedup import _hyperplane_sign
 
     dim, bands, bits = 64, 6, 6
-    band_selects = []
-    for b in range(bands):
-        bit_cases = []
-        for r in range(bits):
-            dot = "+".join(
-                f"({_hyperplane_sign(b, r, j)}"
-                f"*CAST(embedding[{j + 1}] AS DOUBLE))"
-                for j in range(dim)
-            )
-            bit_cases.append(
-                f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
-        band_selects.append(
-            f"SELECT vec_id, embedding, "
-            f"'{b}:' || {' || '.join(bit_cases)} AS bucket FROM base"
-        )
-    banded = "\nUNION ALL\n".join(band_selects)
+    n_bits = bands * bits
+    hp_rows = ", ".join(
+        "(" + ", ".join(
+            [str(j)] + [str(_hyperplane_sign(b, r, j))
+                        for b in range(bands) for r in range(bits)]
+        ) + ")"
+        for j in range(dim)
+    )
+    hp_cols = ", ".join(["pos"] + [f"s_{k}" for k in range(n_bits)])
+    dot_sums = ", ".join(
+        f"SUM(s_{k} * q) AS d_{k}" for k in range(n_bits)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT vec_id, '" + str(b) + ":' || " + " || ".join(
+            f"(CASE WHEN d_{b * bits + r} >= 0 THEN '1' ELSE '0' END)"
+            for r in range(bits)
+        ) + " AS bucket FROM dots"
+        for b in range(bands)
+    )
     return f"""
 WITH base AS ({_SEMDEDUP_BASE_DUCK}),
-bb AS ({banded}),
+hp({hp_cols}) AS (VALUES {hp_rows}),
+ex AS (SELECT vec_id, i.i - 1 AS pos,
+              CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS q
+       FROM base, generate_series(1, {dim}) AS i(i)
+       WHERE len(embedding) >= i.i),
+dots AS (SELECT vec_id, {dot_sums}
+         FROM ex JOIN hp USING (pos) GROUP BY vec_id),
+bb AS ({band_selects}),
 keep AS (SELECT bucket FROM bb GROUP BY bucket HAVING COUNT(*) <= 1024),
 bf AS (SELECT bb.vec_id, bb.bucket FROM bb JOIN keep USING (bucket)),
 cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
