@@ -717,19 +717,34 @@ def hyperplane_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    vecs = emb.select(F.col(id_col), F.col("embedding"))
+    # Verify: norms precomputed ONCE per vector (they ride the join),
+    # so each candidate pair pays one interpreted-HOF traversal (the
+    # dot) instead of three — the pair side outnumbers the vector
+    # side by ~b*occupancy/2 (~100x on the gated fixture). Values are
+    # bit-identical to cosine(): same sequential dot, same
+    # sqrt/try_divide tree, evaluated per-vector instead of per-pair.
+    from .similarity import dot, norm
+
+    vecs = emb.select(
+        F.col(id_col), F.col("embedding"),
+        norm(F.col("embedding")).alias("_n"),
+    )
     pairs = (
         cands.join(vecs.withColumnRenamed(id_col, "a")
-                   .withColumnRenamed("embedding", "_ea"), "a")
+                   .withColumnRenamed("embedding", "_ea")
+                   .withColumnRenamed("_n", "_na"), "a")
         .join(vecs.withColumnRenamed(id_col, "b")
-              .withColumnRenamed("embedding", "_eb"), "b")
+              .withColumnRenamed("embedding", "_eb")
+              .withColumnRenamed("_n", "_nb"), "b")
     )
-    from .similarity import cosine
-
     return (
         pairs.select(
             "a", "b",
-            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos"),
+            F.round(
+                F.try_divide(dot(F.col("_ea"), F.col("_eb")),
+                             F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
