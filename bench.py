@@ -136,12 +136,17 @@ def main() -> None:
     # A ~200-execution suite (warm-up + timed pass over the full surface)
     # overflows HotSpot's default 240 MB code cache; once the JIT
     # starts flushing, late-suite queries degrade 2-3x (st02 measured
-    # 5.9 s vs 2.4 s steady). 512 MB alone is stable across runs —
-    # unlike the earlier 1g + -Xms + AlwaysPreTouch combo, whose heap
-    # pre-commit caused its own suite-wide slowdown (see session.py).
-    # Bench-local default; any caller-set value wins.
+    # 5.9 s vs 2.4 s steady). 512 MB was stable at the 98-query
+    # surface; the r12 99-query suite (llm39's banded-signature
+    # stages) tipped it back into flushing — roaming 2-10x spikes on
+    # codegen-heavy queries (llm34 1.5->15.8 s in one run, llm14/15/
+    # 07/05 in another, different victims each run), while a 1g cache
+    # ran spike-free (113.4 vs 135.8/121.8/160.3 s totals, same tree,
+    # same host). 1 GB is code-cache reservation, not heap — the
+    # earlier 1g-HEAP + AlwaysPreTouch slowdown (see session.py) does
+    # not apply. Bench-local default; any caller-set value wins.
     os.environ.setdefault(
-        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
     )
 
     from kinesis_alerts_consumer_spark.session import get_spark
