@@ -419,8 +419,15 @@ def _zero_light(stats: dict) -> None:
 
 
 # hyperplane signs tables, one per (session, bands, bits, dim) — see
-# hyperplane_lsh_pairs
-_SIGNS_CACHE: dict[tuple, DataFrame] = {}
+# hyperplane_lsh_pairs. Weak-keyed on the SESSION OBJECT, not id():
+# a dict keyed on id(spark) would alias a new session to a dead one's
+# DataFrame after GC reuses the address (stale JVM refs), and would
+# pin dead sessions' plans forever in long-lived processes.
+import weakref
+
+_SIGNS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _hyperplane_sign(band: int, bit: int, j: int) -> int:
@@ -654,8 +661,9 @@ def hyperplane_lsh_pairs(
     # (sameSemantics-pinned) and skips the rebuild.
     spark = emb.sparkSession
     s_cols = [f"s_{k}" for k in range(n_bits)]
-    cache_key = (id(spark), bands, bits_per_band, dim)
-    signs = _SIGNS_CACHE.get(cache_key)
+    per_session = _SIGNS_CACHE.setdefault(spark, {})
+    cache_key = (bands, bits_per_band, dim)
+    signs = per_session.get(cache_key)
     if signs is None:
         sign_rows = [
             (j, *[_hyperplane_sign(b, r, j)
@@ -665,7 +673,7 @@ def hyperplane_lsh_pairs(
         signs = spark.createDataFrame(
             sign_rows, ", ".join(["pos int"] + [f"{c} int" for c in s_cols])
         )
-        _SIGNS_CACHE[cache_key] = signs
+        per_session[cache_key] = signs
     # quantize to exact integer micros (llm30): integer sums commute,
     # so the groupBy needs no ordering contract and both engines
     # agree bit-for-bit on every sign decision
