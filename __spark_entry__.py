@@ -33,56 +33,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_declared(spark, "/root/testdata/sf0.001", "dq02_join_agg")
 
 
-# Round-12 window: an EXPLICIT 48-name set (enumerated, not derived —
+# Round-13 window: an EXPLICIT 48-name set (enumerated, not derived —
 # the scheme the r5/r6 verdicts settled on).
 #
 # Composition, per the rotation invariant (every oracle-backed query
-# green within the trailing TWO rounds) and the r11 verdict's written
-# plan (VERDICT r11 item 1, which mirrors the ROUND-12 PLAN written in
-# this file during r11): the 48 keys whose last green driver row is
-# r10 — exactly the r10 window: dq01/02, ext01-04, ext07, kv01-05,
-# llm01-13, llm15-23, llm25, llm33, llm35, llm36, llm38, mm01-03,
-# st01, st02, st04, st05, vol02, vol03. ZERO free slots; the
-# two-round invariant then holds exactly (r11 covered the other 48 of
-# the 96 oracle-backed keys).
-# Any r12 change riding an out-of-window entry (e.g. llm27's sign-LSH
-# stats hook — last green in r11) must use the accepted substitute:
-# property/equivalence test + in-session full-surface oracle verify
-# at sf0.01, cited in the commit message (the r7 parse precedent).
+# green within the trailing TWO rounds) and the r12 verdict's item 1:
+# the 48 keys whose last green driver row is r11 — exactly the r11
+# window (dq03-dq31, kv06, kv07, llm14, llm24, llm26-32, llm34,
+# llm37, st03, st06-08, vol01, vol04) — EXCEPT that
+# dq05_regex_extract (seven-rounds-stable) is displaced to seat
+# llm39_hyperplane_near_dup, the only oracle-backed key (1 of 97)
+# never driver-verified (debuted r12 outside the window). dq05 rides
+# the accepted substitute protocol: property/oracle pytest + an
+# in-session full-surface oracle verify at sf0.01 cited in the
+# rotation commit (the r7 parse precedent). With 97 oracle-backed
+# keys and 2x48=96 window slots, exactly one key per cycle must ride
+# the substitute protocol — rotate WHICH key it is each cycle.
 #
-# ROUND-13 PLAN (write _R13_WINDOW from this at the start of r13):
-# the 48 keys last green in r11 are exactly the 48-key r11 window
-# (dq03-dq31, kv06, kv07, llm14, llm24, llm26-32, llm34, llm37,
-# st03, st06-08, vol01, vol04 = 48). Zero free slots. Any NEW entry
-# added in r12/r13 debuts outside the window with a pytest oracle
-# twin and must displace via the substitute protocol or wait for the
-# r14 rotation. Keep ext06 then ext05 pinned at positions 49-50.
-_R12_WINDOW = frozenset(
-    ["dq01_filter_project", "dq02_join_agg"]
-    + ["ext01_asof_join", "ext02_range_join", "ext03_pivot",
-       "ext04_percentiles", "ext07_bucketed_join"]
-    + ["kv01_route_project", "kv02_mongo_rule",
-       "kv03_process_metrics", "kv04_disposition",
-       "kv05_config_rules"]
-    + ["llm01_dedup_exact", "llm02_minhash_signatures",
-       "llm03_near_dup_minhash_lsh", "llm04_simhash",
-       "llm05_embedding_near_dup", "llm06_ann_cosine_topk",
-       "llm07_ann_cosine_topk_lsh", "llm08_token_stats",
-       "llm09_quality_scores", "llm10_language_id",
-       "llm11_fingerprints", "llm12_corpus_profile",
-       "llm13_ann_cosine_topk_ivf"]
-    + ["llm15_dedup_clusters", "llm16_hash_sample",
-       "llm17_sequence_packing", "llm18_pii_redaction",
-       "llm19_doc_chunking", "llm20_tfidf_vocab",
-       "llm21_contamination", "llm22_cross_snapshot_dedup",
-       "llm23_ngram_repetition"]
-    + ["llm25_mixture_plan", "llm33_token_commonness",
-       "llm35_distinct_md5_counts", "llm36_shingle_containment",
-       "llm38_bloom_snapshot_dedup"]
-    + ["mm01_media_features", "mm02_frame_plan", "mm03_resize_plan"]
-    + ["st01_stream_hourly_rollup", "st02_stream_sessions",
-       "st04_stream_dedup", "st05_stream_kayvee_pipeline"]
-    + ["vol02_log_route_volume", "vol03_hot_key_rollup"]
+# ROUND-14 PLAN (write _R14_WINDOW from this at the start of r14):
+# the 48 keys last green in r12 are exactly the 48-key r12 window
+# (dq01/02, ext01-04, ext07, kv01-05, llm01-13, llm15-23, llm25,
+# llm33, llm35, llm36, llm38, mm01-03, st01/02/04/05, vol02/03).
+# dq05 (last green r11, displaced this round) must displace ONE of
+# those — pick the stablest (e.g. dq01_filter_project) and cover the
+# displaced key via the substitute protocol. Keep ext06 then ext05
+# pinned at positions 49-50.
+_R13_WINDOW = frozenset(
+    ["dq03_window_topk", "dq04_rollup"]
+    # dq05_regex_extract intentionally absent: displaced for llm39
+    + ["dq06_tumbling_agg", "dq07_intersect", "dq08_semi_join",
+       "dq09_sessionization", "dq10_exact_dedup_counts",
+       "dq11_anti_join", "dq12_global_topk", "dq13_union_except",
+       "dq14_scalar_functions", "dq15_conditional_agg",
+       "dq16_minmax_profile", "dq17_cube", "dq18_string_functions",
+       "dq19_date_functions", "dq20_correlated_scalar",
+       "dq21_window_frames", "dq22_having", "dq23_full_outer",
+       "dq24_window_variants", "dq25_median", "dq26_multiset_ops",
+       "dq27_try_cast", "dq28_lateral", "dq29_recursive_gapfill",
+       "dq30_grouping_sets_filter", "dq31_advanced_strings"]
+    + ["kv06_multiroute_regions", "kv07_notifications"]
+    + ["llm14_winnowing", "llm24_ann_cosine_topk_pq",
+       "llm26_source_caps", "llm27_semantic_dedup",
+       "llm28_passage_dedup", "llm29_knn_classify",
+       "llm30_label_centroids", "llm31_curation_pipeline",
+       "llm32_length_outliers", "llm34_random_projection",
+       "llm37_domain_affinity", "llm39_hyperplane_near_dup"]
+    + ["st03_stream_stateful_totals", "st06_stream_volume_rollup",
+       "st07_stream_stream_join", "st08_stream_dedup_within_wm"]
+    + ["vol01_log_volume", "vol04_hot_key_join"]
 )
 
 
@@ -90,15 +88,15 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     """(name, fn, oracle_sql|None) in driver-priority insertion order.
 
     The driver's correctness snapshot records EXACTLY the first 50 keys
-    of insertion order (cap confirmed over r01-r05). Round-12 window =
-    the explicit ``_R12_WINDOW`` set (composition documented at its
-    definition — the 48 keys whose last green driver row is r10, i.e.
-    the full r10 window). ext06 then ext05 sit at positions
-    49-50: no-oracle rows-only entries last inside the window so
-    nothing oracle-backed is lost if the driver halts at the first
-    no-oracle entry. Everything green in
-    r11 sits outside. tests/test_entry_contract.py pins the layout and
-    fails loudly if the composition drifts past 48.
+    of insertion order (cap confirmed over r01-r05). Round-13 window =
+    the explicit ``_R13_WINDOW`` set (composition documented at its
+    definition — the 48 keys whose last green driver row is r11, with
+    dq05 displaced to seat llm39 per VERDICT r12 item 1). ext06 then
+    ext05 sit at positions 49-50: no-oracle rows-only entries last
+    inside the window so nothing oracle-backed is lost if the driver
+    halts at the first no-oracle entry. Everything green in r12 sits
+    outside. tests/test_entry_contract.py pins the layout and fails
+    loudly if the composition drifts past 48.
     """
     oracle_backed: dict[str, tuple[Callable, str]] = {}
     no_oracle: list[tuple[str, Callable, None]] = []
@@ -115,15 +113,15 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
             oracle_sql_for(name),
         )
 
-    missing = _R12_WINDOW - set(oracle_backed)
+    missing = _R13_WINDOW - set(oracle_backed)
     if missing:
         raise RuntimeError(f"window names not registered: {sorted(missing)}")
-    window = sorted(n for n in oracle_backed if n in _R12_WINDOW)
-    rest = sorted(n for n in oracle_backed if n not in _R12_WINDOW)
+    window = sorted(n for n in oracle_backed if n in _R13_WINDOW)
+    rest = sorted(n for n in oracle_backed if n not in _R13_WINDOW)
     if len(window) != 48:
         raise RuntimeError(
             f"driver window holds {len(window)} oracle-backed keys, "
-            "want 48 — adjust _R12_WINDOW so the no-oracle entries "
+            "want 48 — adjust _R13_WINDOW so the no-oracle entries "
             "stay at positions 49-50"
         )
     entries = [(n, *oracle_backed[n]) for n in window]

@@ -234,7 +234,7 @@ def cosine_topk_ivf(
     emb: DataFrame,
     k: int = 5,
     num_queries: int = 10,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
@@ -256,9 +256,24 @@ def cosine_topk_ivf(
     centroid_id so each probe is a partition-pruned scan), then
     serve every batch through ``index=``. The gated llm13 literal
     (8, 2) measured recall 0.86 while scoring 25% — cells must grow
-    ~sqrt(n) or IVF neither prunes nor recalls at scale."""
-    cents, assign = index if index is not None else ivf_assign(
-        emb, n_centroids)
+    ~sqrt(n) or IVF neither prunes nor recalls at scale.
+
+    ``n_centroids`` is a BUILD parameter: with ``index=`` it would be
+    silently ignored, so passing both raises (ADVICE r12) — the cell
+    count is already baked into the prebuilt assignments. Default
+    ``None`` resolves to 8 on the build path (the gated llm13
+    literal)."""
+    if index is not None:
+        if n_centroids is not None:
+            raise ValueError(
+                "n_centroids is a build parameter and is ignored when "
+                "a prebuilt index= is passed — the cell count is baked "
+                "into the index; build it with ivf_assign(emb, "
+                "n_centroids) and drop the argument here")
+        cents, assign = index
+    else:
+        cents, assign = ivf_assign(
+            emb, 8 if n_centroids is None else n_centroids)
     queries = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -511,8 +526,8 @@ def cosine_topk_pq(
     emb: DataFrame,
     k: int = 5,
     num_queries: int = 10,
-    m: int = 4,
-    codebook_k: int = 16,
+    m: int | None = None,
+    codebook_k: int | None = None,
     shortlist: int = 25,
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
@@ -536,23 +551,51 @@ def cosine_topk_pq(
     ``cosine_topk_ivf``: codes are the durable 100 TB artifact
     (written once, ~16x smaller than the vectors), and re-encoding
     per query batch re-pays the n·m·codebook_k argmin scan every
-    call. The caller must pass the same ``m`` the index was built
-    with; ``sub_len`` is READ FROM THE INDEX itself (the subspace-0
-    codebook vectors carry it), not re-derived from the query-time
-    ``emb`` — re-deriving would silently misalign every LUT slice
-    against the stored codes the moment the serving corpus's minimum
-    width drifts from the build-time one (r12 review).
+    call. BOTH geometry facts are read from the index itself, never
+    trusted from the caller (ADVICE r12): ``sub_len`` from the
+    subspace-0 codebook vectors, and ``m`` from the index's subspace
+    count (``max(subspace)+1``) — a caller-supplied ``m`` smaller
+    than the index's would silently ADC-sum a subset of subspaces,
+    and a larger one would NULL every adist (the missing per-subspace
+    sums) and degenerate the shortlist to a vec_id-ordered cut, so an
+    explicit ``m`` that mismatches the index raises. ``codebook_k``
+    is a build parameter the index path never reads; passing it with
+    ``index=`` raises the same way. ``sub_len`` is likewise not
+    re-derived from the query-time ``emb`` — re-deriving would
+    silently misalign every LUT slice against the stored codes the
+    moment the serving corpus's minimum width drifts from the
+    build-time one (r12 review). Defaults ``m=None``/
+    ``codebook_k=None`` resolve to 4/16 on the build path.
     """
     if index is not None:
+        if codebook_k is not None:
+            raise ValueError(
+                "codebook_k is a build parameter and is ignored when a "
+                "prebuilt index= is passed — it is baked into the "
+                "codebooks; build with pq_encode(emb, m, codebook_k) "
+                "and drop the argument here")
         books, codes = index
-        row = (
-            books.filter(F.col("subspace") == 0)
-            .select(F.size("cvec").alias("d")).first()
-        )
-        if row is None:
+        row = books.agg(
+            F.max("subspace").alias("mx"),
+            F.min(
+                F.when(F.col("subspace") == 0, F.size("cvec"))
+            ).alias("d"),
+        ).first()
+        if row is None or row["d"] is None:
             raise ValueError("prebuilt PQ index has no subspace-0 codebook")
         sub_len = int(row["d"])
+        m_idx = int(row["mx"]) + 1
+        if m is None:
+            m = m_idx
+        elif m != m_idx:
+            raise ValueError(
+                f"m={m} does not match the prebuilt index's {m_idx} "
+                "subspaces — the ADC sum would cover the wrong subspace "
+                "set; omit m (it is read from the index) or pass "
+                f"m={m_idx}")
     else:
+        m = 4 if m is None else m
+        codebook_k = 16 if codebook_k is None else codebook_k
         sub_len = _global_sub_len(emb, m)
         books, codes = pq_encode(emb, m, codebook_k, sub_len=sub_len)
     queries = emb.filter(F.col("vec_id") < num_queries).select(

@@ -32,30 +32,33 @@ def test_query_count_and_oracle_coverage():
 def test_driver_window_priority():
     names = list(entry.queries())
     window = set(names[:50])
-    # round-12 rotation: the window IS the explicit _R12_WINDOW set —
-    # the 48 keys whose last green driver row is r10 (the r11 verdict's
-    # mandatory rotation list; identical to the full r10 window).
-    assert entry._R12_WINDOW <= window, sorted(entry._R12_WINDOW - window)
-    assert len(entry._R12_WINDOW) == 48
-    # the 48 mandatory last-green-in-r10 keys individually (family
-    # spot-pins; the full list is the _R12_WINDOW literal itself)
-    for must in (["dq01", "dq02"]
-                 + ["ext01", "ext02", "ext03", "ext04", "ext07"]
-                 + ["kv%02d_" % i for i in range(1, 6)]
-                 + ["llm%02d_" % i for i in range(1, 14)]
-                 + ["llm%02d_" % i for i in range(15, 24)]
-                 + ["llm25", "llm33", "llm35", "llm36", "llm38"]
-                 + ["mm01", "mm02", "mm03"]
-                 + ["st01", "st02", "st04", "st05", "vol02", "vol03"]):
+    # round-13 rotation: the window IS the explicit _R13_WINDOW set —
+    # the 48 keys whose last green driver row is r11 (the r12 verdict's
+    # mandatory rotation list; the full r11 window) with ONE swap per
+    # VERDICT r12 item 1: dq05 (seven-rounds-stable) out, llm39 (the
+    # only never-driver-verified oracle-backed key) in.
+    assert entry._R13_WINDOW <= window, sorted(entry._R13_WINDOW - window)
+    assert len(entry._R13_WINDOW) == 48
+    # the 48 mandatory last-green-in-r11 keys individually (family
+    # spot-pins; the full list is the _R13_WINDOW literal itself)
+    for must in (["dq03", "dq04"]
+                 + ["dq%02d_" % i for i in range(6, 32)]
+                 + ["kv06", "kv07", "llm14", "llm24"]
+                 + ["llm%02d_" % i for i in range(26, 33)]
+                 + ["llm34", "llm37", "llm39"]
+                 + ["st03", "st06", "st07", "st08", "vol01", "vol04"]):
         hit = [n for n in window if n.startswith(must)]
-        assert hit, f"{must} must be inside the r12 window"
-    # everything green in r11 must NOT consume window slots (spot-pin
-    # the families)
-    for out in (["dq%02d_" % i for i in range(3, 32)]
-                + ["kv06", "kv07", "llm14", "llm24"]
-                + ["llm%02d_" % i for i in range(26, 33)]
-                + ["llm34", "llm37", "st03", "st06", "st07", "st08",
-                   "vol01", "vol04"]):
+        assert hit, f"{must} must be inside the r13 window"
+    # everything green in r12 — plus displaced dq05 — must NOT consume
+    # window slots (spot-pin the families)
+    for out in (["dq01", "dq02", "dq05"]
+                + ["ext01", "ext02", "ext03", "ext04", "ext07"]
+                + ["kv%02d_" % i for i in range(1, 6)]
+                + ["llm%02d_" % i for i in range(1, 14)]
+                + ["llm%02d_" % i for i in range(15, 24)]
+                + ["llm25", "llm33", "llm35", "llm36", "llm38"]
+                + ["mm01", "mm02", "mm03"]
+                + ["st01", "st02", "st04", "st05", "vol02", "vol03"]):
         hit = [n for n in window if n.startswith(out)]
         assert not hit, f"{out} should be outside the window: {hit}"
     # no-oracle entries last inside the window, fewest-rows ext06 first

@@ -278,6 +278,7 @@ def test_lsh_sizing_auto_is_a_gated_consumer_of_suggest(spark):
     import pytest
 
     from kinesis_alerts_consumer_spark.operators.dedup import (
+        hll_buffered_count,
         lsh_candidate_pairs,
         suggest_lsh_sizing,
     )
@@ -294,9 +295,13 @@ def test_lsh_sizing_auto_is_a_gated_consumer_of_suggest(spark):
     # the derivation is visible to audits...
     assert stats["n_docs_estimate"] >= 1
     b, r = stats["bands"], stats["rows_per_band"]
-    # ...and uses suggest_lsh_sizing on the HLL estimate (exact here:
-    # approx_count_distinct is exact at this cardinality)
-    assert (b, r) == suggest_lsh_sizing(n)
+    # ...and uses suggest_lsh_sizing on the 2σ-buffered HLL estimate
+    # (±5% rsd even at this cardinality — 43 for 42 observed — so
+    # compare against the REPORTED estimate; VERDICT r12 item 3)
+    n_est = stats["n_docs_estimate"]
+    assert abs(n_est - n) <= max(3, n // 10)  # sane estimate
+    assert stats["n_docs_sized_for"] == hll_buffered_count(n_est)
+    assert (b, r) == suggest_lsh_sizing(hll_buffered_count(n_est))
     explicit = lsh_candidate_pairs(docs, shingle=1, bands=b, rows_per_band=r)
     assert auto.sameSemantics(explicit)
     assert {(x.a, x.b) for x in auto.collect()} == {
@@ -313,7 +318,9 @@ def test_lsh_sizing_auto_is_a_gated_consumer_of_suggest(spark):
         docs, shingle=1, sizing="auto", max_bucket=None, stats=stats_nocap
     )
     assert (stats_nocap["bands"], stats_nocap["rows_per_band"]) == \
-        suggest_lsh_sizing(n, max_bucket=64)
+        suggest_lsh_sizing(
+            hll_buffered_count(stats_nocap["n_docs_estimate"]),
+            max_bucket=64)
     with pytest.raises(ValueError, match="auto"):
         lsh_candidate_pairs(docs, sizing="bogus")
 
@@ -548,10 +555,21 @@ def test_hyperplane_lsh_pairs_semantics(spark):
     # derived against the CALLER's cap (r12 review: a cap below the
     # default occupancy target must tighten the derivation, or
     # typical buckets get wholesale-dropped)
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hll_buffered_count,
+    )
+
     astats: dict = {}
     auto = hyperplane_lsh_pairs(
         emb, sizing="auto", threshold=0.9, max_bucket=10, stats=astats)
-    b, r = suggest_hyperplane_sizing(33, threshold=0.9, target_bucket=10)
+    # auto sizes for the 2σ-buffered HLL estimate (VERDICT r12 item
+    # 3); the estimate is ±5% rsd even at 33 vectors, so compare
+    # against the REPORTED value
+    n_est = astats["n_vecs_estimate"]
+    assert abs(n_est - 33) <= 4
+    assert astats["n_vecs_sized_for"] == hll_buffered_count(n_est)
+    b, r = suggest_hyperplane_sizing(
+        hll_buffered_count(n_est), threshold=0.9, target_bucket=10)
     assert (astats["bands"], astats["bits_per_band"]) == (b, r)
     assert auto.sameSemantics(hyperplane_lsh_pairs(
         emb, bands=b, bits_per_band=r, threshold=0.9, max_bucket=10))
@@ -559,7 +577,9 @@ def test_hyperplane_lsh_pairs_semantics(spark):
     hyperplane_lsh_pairs(
         emb, sizing="auto", threshold=0.9, max_bucket=4, stats=tight)
     assert (tight["bands"], tight["bits_per_band"]) == \
-        suggest_hyperplane_sizing(33, threshold=0.9, target_bucket=4)
+        suggest_hyperplane_sizing(
+            hll_buffered_count(tight["n_vecs_estimate"]),
+            threshold=0.9, target_bucket=4)
     assert tight["bits_per_band"] > r  # tighter cap -> finer buckets
 
     # ragged widths: dim inference is the corpus-wide MIN, so a short
@@ -582,6 +602,260 @@ def test_hyperplane_lsh_pairs_semantics(spark):
     # named instead of stalling Catalyst on a multi-MB plan
     with pytest.raises(ValueError, match="random_projection"):
         hyperplane_lsh_pairs(emb, bands=100, bits_per_band=100, dim=768)
+
+
+def test_hll_buffer_protects_sizing_from_2sigma_low_estimates():
+    """VERDICT r12 item 3: the 1.05M probe's HLL estimate came in 8%
+    LOW and derived (30,15) where exact n gives (35,16) — recall held
+    on margin, not design. Property: for any true n, if the estimate
+    lands at the 2σ-low worst case n·(1−2·rsd), the BUFFERED sizing
+    still satisfies both derivation inequalities (occupancy and
+    S-curve recall) at the TRUE n — for the MinHash and the
+    hyperplane family alike. Pure math — no Spark."""
+    import math
+
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hll_buffered_count,
+        hyperplane_band_recall,
+        lsh_band_recall,
+        suggest_hyperplane_sizing,
+        suggest_lsh_sizing,
+    )
+
+    # the buffer itself: >= the estimate, ~11% at default rsd
+    # (divide-by-(1-2σ), the exact inverse of a 2σ-low estimate),
+    # exact ceil arithmetic, input validation
+    assert hll_buffered_count(0) == 1
+    assert hll_buffered_count(100) == 112  # ceil(100 / 0.9)
+    assert hll_buffered_count(967_835) == math.ceil(967_835 / 0.9)
+    with pytest.raises(ValueError, match="n_estimate"):
+        hll_buffered_count(-1)
+    with pytest.raises(ValueError, match="rsd"):
+        hll_buffered_count(10, rsd=1.5)
+
+    # the r12 measured case, replayed through the shipped path: the
+    # 8%-low estimate, buffered, must derive AT LEAST exact-n's
+    # occupancy bits — no longer one band short by luck
+    b_buf, r_buf = suggest_hyperplane_sizing(hll_buffered_count(967_835))
+    b_exact, r_exact = suggest_hyperplane_sizing(1_050_000)
+    assert r_buf >= r_exact and (b_buf, r_buf) == (b_exact, r_exact)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**12),
+        t=st.floats(min_value=0.5, max_value=0.99),
+        rec=st.floats(min_value=0.5, max_value=0.99),
+        cap=st.integers(min_value=1, max_value=4096),
+    )
+    def props(n, t, rec, cap):
+        from hypothesis import assume
+
+        # worst estimate still within 2σ: ceil keeps it >= n·(1-2σ)
+        est_low = max(1, math.ceil(n * (1.0 - 2.0 * 0.05)))
+        sized_for = hll_buffered_count(est_low)
+        try:
+            b, r = suggest_hyperplane_sizing(
+                sized_for, threshold=t, target_recall=rec,
+                target_bucket=cap)
+        except ValueError as exc:
+            assume("infeasible sizing" not in str(exc))
+            raise
+        # recall inequality at the true n: the S-curve promise is a
+        # pure function of (b, r), so it holds regardless of n ...
+        assert hyperplane_band_recall(t, b, r) >= rec
+        # ... and the buffered estimate DOMINATES true n (the whole
+        # point of the divide-form buffer), so the occupancy
+        # inequality derived from it holds at TRUE n: n / 2^r <= cap
+        # whenever the derivation was forced
+        assert n <= sized_for
+        if sized_for > cap:
+            assert n / (2.0 ** r) <= cap + 1e-9
+
+        # same invariant for the MinHash family
+        try:
+            bm, rm = suggest_lsh_sizing(
+                sized_for, threshold=t, target_recall=rec, max_bucket=cap)
+        except ValueError as exc:
+            assume("infeasible sizing" not in str(exc))
+            raise
+        assert lsh_band_recall(t, bm, rm) >= rec
+
+    props()
+
+
+def test_hyperplane_dim_inference_skips_empty_and_null(spark):
+    """ADVICE r12: with dim=None the inferred width must come from
+    NON-EMPTY rows only — one empty or null embedding used to drive
+    the corpus MIN to <= 0 and abort the whole call; now such rows
+    simply drop out of candidates (they posexplode to no dot rows)."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_lsh_pairs,
+    )
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, []), (4, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = hyperplane_lsh_pairs(
+        emb, bands=2, bits_per_band=2, threshold=0.9)
+    pairs = {(r.a, r.b) for r in got.collect()}
+    assert pairs == {(1, 2)}  # empty/null rows excluded, not fatal
+    # inference == the explicit non-empty minimum
+    assert got.sameSemantics(hyperplane_lsh_pairs(
+        emb, bands=2, bits_per_band=2, threshold=0.9, dim=4))
+    # all-empty corpus: no inferable width -> dim falls back to 1 and
+    # every row drops out of candidates — a graceful empty result,
+    # not a crash
+    empty = spark.createDataFrame(
+        [(1, []), (2, [])], "vec_id long, embedding array<double>")
+    assert hyperplane_lsh_pairs(
+        empty, bands=2, bits_per_band=2).count() == 0
+
+
+def test_ann_index_build_param_validation(spark):
+    """ADVICE r12: prebuilt-index calls must not silently drop or
+    mistrust build parameters — n_centroids/codebook_k raise when
+    passed alongside index=, and PQ's m is READ from the index
+    (max(subspace)+1), raising on an explicit mismatch instead of
+    ADC-summing the wrong subspace set."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_pq,
+        ivf_assign,
+        pq_encode,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+
+    idx = ivf_assign(emb, n_centroids=8)
+    with pytest.raises(ValueError, match="n_centroids"):
+        cosine_topk_ivf(emb, n_centroids=8, index=idx)
+
+    pq_idx = pq_encode(emb, m=4, codebook_k=16)
+    with pytest.raises(ValueError, match="codebook_k"):
+        cosine_topk_pq(emb, codebook_k=16, index=pq_idx)
+    with pytest.raises(ValueError, match="subspaces"):
+        cosine_topk_pq(emb, m=8, index=pq_idx)
+    # m omitted -> read from the index; equals the explicit-match call
+    k = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.cos)  # noqa: E731
+    derived = cosine_topk_pq(emb, num_queries=5, index=pq_idx)
+    explicit = cosine_topk_pq(emb, num_queries=5, m=4, index=pq_idx)
+    assert sorted(map(k, derived.collect())) == \
+        sorted(map(k, explicit.collect()))
+
+
+def test_prebuilt_index_probes_prune_partitioned_tables(spark, tmp_path):
+    """VERDICT r12 item 5: the r12 claim for cosine_topk_ivf(index=)
+    is 'partition-pruned probes at 100 TB' — prove it on the plan,
+    ext07-style. The assignments table written partitionBy
+    (centroid_id) and probed through the prebuilt-index path must get
+    a DYNAMIC partition-pruning subquery on its scan (the probe
+    centroids are runtime values, so the pruning is DPP, not a static
+    PartitionFilter): only the nprobe cells' files are read, which is
+    the entire IVF serving economics. For PQ the economics are bytes,
+    not partitions: the ADC-phase scan must read ONLY the codes
+    columns (no vector column in any codes-side ReadSchema) — the
+    16x-smaller artifact is the thing being scanned."""
+    from kinesis_alerts_consumer_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_pq,
+        ivf_assign,
+        pq_encode,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    emb = register_tables(spark, SF_SMOKE)["embeddings"]
+
+    cents, assign = ivf_assign(emb, n_centroids=8)
+    assign.write.partitionBy("centroid_id").parquet(
+        str(tmp_path / "assign"))
+    cents.write.parquet(str(tmp_path / "cents"))
+    a2 = spark.read.parquet(str(tmp_path / "assign"))
+    c2 = spark.read.parquet(str(tmp_path / "cents"))
+    q = cosine_topk_ivf(emb, k=5, num_queries=3, nprobe=2, index=(c2, a2))
+    rows = q.collect()
+    assert rows  # the probe actually served results
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the partitioned assignments scan carries a runtime pruning
+    # subquery keyed on centroid_id
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # identify the assignments scan by its pruning filter (the
+    # Location path is truncated in plan toString under pytest's long
+    # tmp dirs): a FileScan whose PartitionFilters carry a
+    # dynamicpruningexpression on centroid_id
+    pruned_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "dynamicpruning" in ln.lower()
+        and "centroid_id" in ln
+    ]
+    assert pruned_scans, plan[:2000]
+    # equivalence: pruned probes == the inline build (same fixture)
+    key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.cos)  # noqa: E731
+    inline = cosine_topk_ivf(emb, k=5, num_queries=3,
+                             n_centroids=8, nprobe=2)
+    assert sorted(map(key, rows)) == sorted(map(key, inline.collect()))
+
+    books, codes = pq_encode(emb, m=4, codebook_k=16)
+    codes.write.parquet(str(tmp_path / "codes"))
+    books.write.parquet(str(tmp_path / "books"))
+    codes2 = spark.read.parquet(str(tmp_path / "codes"))
+    books2 = spark.read.parquet(str(tmp_path / "books"))
+    pq = cosine_topk_pq(emb, k=5, num_queries=3, shortlist=25,
+                        index=(books2, codes2))
+    assert pq.collect()
+    pq_plan = pq._jdf.queryExecution().executedPlan().toString()
+    # identify the codes scan by its output column (Location paths
+    # truncate, see above): the only scans projecting `code#`
+    code_scans = [
+        ln for ln in pq_plan.splitlines()
+        if "FileScan" in ln and "code#" in ln
+    ]
+    assert code_scans
+    # the ADC scan reads the compact code columns only — never a
+    # vector column
+    assert all("embedding" not in ln for ln in code_scans), code_scans
+
+
+def test_hyperplane_gated_fixture_candidate_volume_is_a_contract(spark):
+    """VERDICT r12 item 4 (resolution: record, don't resize): llm39's
+    gated literal (6, 6)/dim=64 IS the suggest_hyperplane_sizing
+    answer at the fixture's corpus size, and the fixture is
+    near-uniform, so buckets sit AT the 32-occupancy target — the
+    bench entry's ~7-8 s at sf0.1 is ~203k genuine in-bucket verify
+    cosines (6 bands x ~64 buckets x C(32,2) pairs), not a plan
+    defect. Pin the exact candidate volume (threshold=-1.0 keeps
+    every verified candidate) at both driver SFs so any plan or
+    fixture drift that changes the cost is caught as a diff here, and
+    the suite-tail cost stays an explained, recorded contract
+    (BASELINE.md round-13 note)."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_lsh_pairs,
+    )
+    from kinesis_alerts_consumer_spark.plans.llm_queries import (
+        _semdedup_base,
+        _tables,
+    )
+
+    base = _semdedup_base(
+        _tables(spark, "/root/testdata/sf0.01")["embeddings"])
+    cand = hyperplane_lsh_pairs(
+        base, bands=6, bits_per_band=6, threshold=-1.0, dim=64)
+    assert base.count() == 560
+    assert cand.count() == 14781  # measured r13; deterministic signs
+
+    base1 = _semdedup_base(
+        _tables(spark, "/root/testdata/sf0.1")["embeddings"])
+    cand1 = hyperplane_lsh_pairs(
+        base1, bands=6, bits_per_band=6, threshold=-1.0, dim=64)
+    assert base1.count() == 2060
+    assert cand1.count() == 203099  # the ~203k the bench entry pays
 
 
 def test_hyperplane_signs_are_pinned():
