@@ -859,6 +859,185 @@ def jaccard_pairs(
     )
 
 
+def lsh_build_index(
+    docs: DataFrame,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    shingle: int = 1,
+) -> DataFrame:
+    """Banded MinHash bucket table for an EXISTING corpus — the
+    durable incremental-dedup artifact (doc_id, band, r0..r{r-1}),
+    one row per (doc, band).
+
+    This is the near-dup analogue of the r12 ANN lesson
+    (:func:`~..operators.similarity.ivf_assign` /
+    :func:`~..operators.similarity.pq_encode`): at 100 TB the index
+    is built ONCE over the historical corpus (b·r minhashes per doc,
+    the expensive pass) and written next to it — ``partitionBy
+    ("band")`` plus parquet ``bucketBy`` on the ``r*`` columns, so
+    every probe batch joins co-located. Each ingest batch then pays
+    only ITS OWN signatures (:func:`lsh_incremental_pairs`), never a
+    full-corpus re-shuffle — the production dedup pattern: new data
+    is deduped AGAINST the corpus, the corpus is not re-deduped.
+
+    The banding is byte-identical to :func:`lsh_candidate_pairs`'s
+    in-line form (same ``minhash_signatures`` hash recipe, same
+    band/row layout), flattened to plain columns so the table is
+    parquet-writable and partition-prunable. ``shingle`` is part of
+    the index geometry but not recoverable from the schema — callers
+    own passing the same value at probe time (documented on
+    :func:`lsh_incremental_pairs`; bands/rows ARE validated there
+    from the table itself)."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError("bands and rows_per_band must be >= 1")
+    sig = minhash_signatures(
+        docs, num_hashes=bands * rows_per_band, shingle=shingle)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
+              for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("_b")
+    ).select(
+        "doc_id", "_b.band",
+        *[F.col(f"_b.r{r}") for r in range(rows_per_band)],
+    )
+
+
+def lsh_incremental_pairs(
+    docs_new: DataFrame,
+    docs_old: DataFrame,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    shingle: int = 1,
+    threshold: float = 0.5,
+    max_bucket: int | None = 64,
+    index: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Near-dup pairs of NEW documents against an EXISTING corpus —
+    returns ``(a, b, jaccard)`` with ``a`` an old doc_id, ``b`` a new
+    doc_id, exact shingle-Jaccard ``>= threshold``. Only new-vs-old
+    pairs: old-vs-old was settled when the corpus was deduped, and
+    new-vs-new belongs to the batch's own :func:`lsh_candidate_pairs`
+    pass. The incremental twin of llm22's exact digest anti-join, at
+    near-dup (MinHash) granularity.
+
+    ``index`` accepts the prebuilt :func:`lsh_build_index` table and
+    skips the old-corpus signature pass entirely — the scale API.
+    Following the r12/r13 PQ contract, index GEOMETRY is read from
+    the table, never trusted from the caller: ``rows_per_band`` from
+    the ``r*`` schema columns (free), ``bands`` from ``max(band)+1``
+    (one narrow metadata aggregate); an explicit argument that
+    mismatches raises instead of probing a silently wrong banding
+    (fewer probe bands than the index = silent recall loss; more =
+    phantom buckets that never match). ``shingle`` cannot be read
+    from the schema — the caller owns passing the build-time value,
+    or the probe signatures hash different shingles and recall
+    silently dies (docstring contract, as with the index path's
+    ``sub_len`` in ``cosine_topk_pq`` before r12).
+
+    Physical shape at 100 TB: the OLD index groups to member-list
+    buckets (the llm03 one-aggregation form — at probe time this
+    collapses to a pre-aggregated read when the index was written
+    bucketed on the join key); the NEW batch's banded signatures are
+    the SMALL side and broadcast into that join, so the old corpus
+    is never shuffled. The cap applies to OLD-side bucket membership
+    only (a hot bucket in the corpus would explode EVERY future
+    batch; the ``stats`` light reports what it dropped, same
+    separate-action contract as every other light). The exact-
+    Jaccard verify re-reads text ONLY for suspected ids — both sides
+    are left-semi-joined to the candidate id sets before
+    :func:`jaccard_pairs`, so the 100 TB text scan is pruned to the
+    candidate neighborhood (scan-side id pushdown), not the corpus.
+
+    Contract: old and new doc_id spaces must be DISJOINT (the verify
+    join distinguishes sides by id, the llm22 convention — new ids
+    collide with old ids would cross-wire the shingle sets).
+    """
+    if index is not None:
+        r_cols = sorted(
+            (c for c in index.columns if c.startswith("r")
+             and c[1:].isdigit()),
+            key=lambda c: int(c[1:]),
+        )
+        if not r_cols or "band" not in index.columns:
+            raise ValueError(
+                "prebuilt index must carry (doc_id, band, r0..r{k}) — "
+                "build it with lsh_build_index")
+        r_idx = len(r_cols)
+        if rows_per_band is None:
+            rows_per_band = r_idx
+        elif rows_per_band != r_idx:
+            raise ValueError(
+                f"rows_per_band={rows_per_band} does not match the "
+                f"prebuilt index's {r_idx} row columns — omit it (it "
+                f"is read from the index) or pass {r_idx}")
+        row = index.agg(F.max("band").alias("mb")).collect()[0]
+        if row["mb"] is None:
+            raise ValueError("prebuilt index is empty — no band rows")
+        b_idx = int(row["mb"]) + 1
+        if bands is None:
+            bands = b_idx
+        elif bands != b_idx:
+            raise ValueError(
+                f"bands={bands} does not match the prebuilt index's "
+                f"{b_idx} bands — omit it (it is read from the index) "
+                f"or pass {b_idx}")
+        old_idx = index
+    else:
+        bands = 2 if bands is None else bands
+        rows_per_band = 2 if rows_per_band is None else rows_per_band
+        old_idx = lsh_build_index(
+            docs_old, bands=bands, rows_per_band=rows_per_band,
+            shingle=shingle)
+    keys = ["band"] + [f"r{r}" for r in range(rows_per_band)]
+    new_idx = lsh_build_index(
+        docs_new, bands=bands, rows_per_band=rows_per_band,
+        shingle=shingle)
+
+    # member-list buckets over the OLD side only (one aggregation —
+    # the llm03 physical form); cap + light on old membership
+    buckets = old_idx.groupBy(*keys).agg(
+        F.collect_list("doc_id").alias("_ids")
+    )
+    if max_bucket is not None:
+        if stats is not None:
+            _overcap_light(
+                buckets.filter(F.size("_ids") > max_bucket),
+                F.size("_ids"), stats)
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    elif stats is not None:
+        _zero_light(stats)
+
+    # the new batch is the small side: broadcast it into the old
+    # bucket table so the corpus-sized side never shuffles
+    cand = (
+        buckets.join(F.broadcast(new_idx), keys)
+        .select(
+            F.explode("_ids").alias("a"),
+            F.col("doc_id").alias("b"),
+        )
+        .distinct()
+    )
+
+    # verify on text pruned to the SUSPECTED ids only
+    old_needed = docs_old.join(
+        cand.select(F.col("a").alias("doc_id")).distinct(),
+        "doc_id", "left_semi")
+    new_needed = docs_new.join(
+        cand.select(F.col("b").alias("doc_id")).distinct(),
+        "doc_id", "left_semi")
+    verify_docs = old_needed.select("doc_id", "text").unionByName(
+        new_needed.select("doc_id", "text"))
+    return jaccard_pairs(
+        verify_docs, cand, shingle=shingle, threshold=threshold)
+
+
 def containment_pairs(
     docs: DataFrame,
     candidates: DataFrame,

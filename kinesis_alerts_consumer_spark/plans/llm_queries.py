@@ -1512,6 +1512,69 @@ SELECT a, b, cos FROM p WHERE cos >= 0.9 ORDER BY a, b
 SQL_HYPERPLANE_NEAR_DUP = _hyperplane_sql()
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm40 — incremental near-dup: NEW batch vs EXISTING corpus via
+    the prebuilt-index probe path (dedup.lsh_incremental_pairs). The
+    fixture reuses llm03's planted mutants as the new batch (doc_id
+    +1000000, last two words dropped) against the documents table as
+    the old corpus, at llm03's sizing (2, 2)/shingle 3/cap 64 — so
+    llm40's expected pairs are exactly llm03's old-vs-new subset.
+    The gated call goes THROUGH the index= lever (built in-line from
+    the same corpus) so the driver exercises the geometry-validation
+    and broadcast-probe path, not just the build path."""
+    t = _tables(spark, sf_dir)
+    old = t["documents"].select("doc_id", "text")
+    new = _mutated_docs(t["documents"]).filter(
+        F.col("doc_id") >= 1000000)
+    idx = D.lsh_build_index(old, bands=2, rows_per_band=2, shingle=3)
+    return D.lsh_incremental_pairs(
+        new, old, shingle=3, threshold=0.5, max_bucket=64, index=idx,
+    ).orderBy("a", "b")
+
+
+SQL_INCREMENTAL_NEAR_DUP = f"""
+WITH newdocs AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(ws) > 2
+              THEN array_to_string(ws[1:len(ws)-2], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 20)),
+w_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents),
+sh_o AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         FROM w_o, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+         WHERE len(ws) >= 3),
+w_n AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM newdocs),
+sh_n AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         FROM w_n, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+         WHERE len(ws) >= 3),
+sig_o AS (SELECT doc_id, {_duck_minhash(4)} FROM sh_o GROUP BY doc_id),
+sig_n AS (SELECT doc_id, {_duck_minhash(4)} FROM sh_n GROUP BY doc_id),
+bb_o AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_o
+         UNION ALL
+         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_o),
+bb_n AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_n
+         UNION ALL
+         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_n),
+keep AS (SELECT band, r0, r1 FROM bb_o GROUP BY band, r0, r1
+         HAVING COUNT(*) <= 64),
+cand AS (SELECT DISTINCT o.doc_id AS a, n.doc_id AS b
+         FROM bb_o o JOIN keep USING (band, r0, r1)
+                     JOIN bb_n n USING (band, r0, r1)),
+tok AS (SELECT DISTINCT doc_id, s FROM sh_o
+        UNION SELECT DISTINCT doc_id, s FROM sh_n),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
+      FROM cand c)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1560,5 +1623,12 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm39_hyperplane_near_dup": (
         q_hyperplane_near_dup,
         SQL_HYPERPLANE_NEAR_DUP,
+    ),
+    # llm40 debuts in r13 (outside the r13 window per the rotation
+    # plan; oracle-twinned in pytest + the in-session full-surface
+    # verify until its first driver row in r14+)
+    "llm40_incremental_near_dup": (
+        q_incremental_near_dup,
+        SQL_INCREMENTAL_NEAR_DUP,
     ),
 }
