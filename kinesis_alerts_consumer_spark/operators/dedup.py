@@ -941,17 +941,24 @@ def lsh_incremental_pairs(
     silently dies (docstring contract, as with the index path's
     ``sub_len`` in ``cosine_topk_pq`` before r12).
 
-    Physical shape at 100 TB: the OLD index groups to member-list
-    buckets (the llm03 one-aggregation form — at probe time this
-    collapses to a pre-aggregated read when the index was written
-    bucketed on the join key); the NEW batch's banded signatures are
-    the SMALL side and broadcast into that join, so the old corpus
-    is never shuffled. The cap applies to OLD-side bucket membership
-    only (a hot bucket in the corpus would explode EVERY future
-    batch; the ``stats`` light reports what it dropped, same
-    separate-action contract as every other light). The exact-
-    Jaccard verify re-reads text ONLY for suspected ids — both sides
-    are left-semi-joined to the candidate id sets before
+    Physical shape at 100 TB — the old index is NEVER shuffled, only
+    scanned: the probe broadcasts the new batch's (tiny) distinct
+    bucket-key set into the index scan (a map-side semi filter — the
+    llm03 member-list groupBy would re-shuffle the whole index per
+    batch, the exact cost this operator exists to avoid), counts
+    old membership per MATCHED bucket with map-side partial counts
+    (only (key, count) rows cross the wire — a hot bucket shuffles
+    one partial per task, not its members), drops over-cap buckets
+    via a broadcast anti-join, and only then joins the new batch's
+    signatures to explode candidates. Unmatched over-cap buckets
+    produce no candidates anyway, so capping only matched buckets is
+    output-identical to the oracle's corpus-wide HAVING cap; the
+    ``stats`` light accordingly reports over-cap among PROBED
+    buckets (same separate-action contract as every other light).
+    The cap applies to OLD-side membership only — a hot bucket in
+    the corpus would explode EVERY future batch. The exact-Jaccard
+    verify re-reads text ONLY for suspected ids — both sides are
+    left-semi-joined to the candidate id sets before
     :func:`jaccard_pairs`, so the 100 TB text scan is pruned to the
     candidate neighborhood (scan-side id pushdown), not the corpus.
 
@@ -1000,28 +1007,31 @@ def lsh_incremental_pairs(
         docs_new, bands=bands, rows_per_band=rows_per_band,
         shingle=shingle)
 
-    # member-list buckets over the OLD side only (one aggregation —
-    # the llm03 physical form); cap + light on old membership
-    buckets = old_idx.groupBy(*keys).agg(
-        F.collect_list("doc_id").alias("_ids")
-    )
+    # map-side semi filter: keep only index rows in buckets the new
+    # batch actually probes (the index is scanned, never shuffled)
+    matched_keys = new_idx.select(*keys).distinct()
+    old_matched = old_idx.join(F.broadcast(matched_keys), keys)
+
     if max_bucket is not None:
+        # old membership per MATCHED bucket: map-side partial counts,
+        # only (key, count) rows shuffle — a hot bucket costs one
+        # partial per task, not its member list
+        counts = old_matched.groupBy(*keys).agg(F.count("*").alias("_n"))
+        over = counts.filter(F.col("_n") > max_bucket)
         if stats is not None:
-            _overcap_light(
-                buckets.filter(F.size("_ids") > max_bucket),
-                F.size("_ids"), stats)
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+            _overcap_light(over, F.col("_n"), stats)
+        old_matched = old_matched.join(
+            F.broadcast(over.select(*keys)), keys, "left_anti")
     elif stats is not None:
         _zero_light(stats)
 
-    # the new batch is the small side: broadcast it into the old
-    # bucket table so the corpus-sized side never shuffles
+    # candidate explosion: surviving old rows x the (broadcast) new
+    # batch signatures in the same bucket
     cand = (
-        buckets.join(F.broadcast(new_idx), keys)
-        .select(
-            F.explode("_ids").alias("a"),
-            F.col("doc_id").alias("b"),
-        )
+        old_matched.join(
+            F.broadcast(new_idx.withColumnRenamed("doc_id", "_new_id")),
+            keys)
+        .select(F.col("doc_id").alias("a"), F.col("_new_id").alias("b"))
         .distinct()
     )
 

@@ -849,9 +849,12 @@ def test_lsh_incremental_pairs_semantics(spark):
     new = spark.createDataFrame(
         # exact dup of 50 (identical signatures -> guaranteed bucket
         # match at ANY banding; near-dup recall itself is the gated
-        # llm40 fixture's 20-mutant assertion), plus a fresh doc
+        # llm40 fixture's 20-mutant assertion), a fresh doc, and an
+        # exact dup of the 30-doc boilerplate cluster (probes the hot
+        # bucket, so the old-side cap + light have something to see)
         [(1000, "the quick brown fox jumps over the lazy dog today"),
-         (1001, "novel text that matches nothing in the old corpus")],
+         (1001, "novel text that matches nothing in the old corpus"),
+         (1002, "shared common tokens alpha beta gamma delta doc 0")],
         "doc_id long, text string",
     )
 
@@ -875,16 +878,19 @@ def test_lsh_incremental_pairs_semantics(spark):
     with pytest.raises(ValueError, match="bands"):
         lsh_incremental_pairs(new, old, bands=4, shingle=3, index=idx)
 
-    # the 30 shared-prefix docs share band buckets: a tight cap drops
-    # them (old-side members), the light reports it, and the planted
-    # pair survives only while its own bucket is under cap
+    # doc 1002 probes the 30-doc boilerplate cluster's hot bucket: a
+    # tight cap drops it (old-side members), the light reports it —
+    # over-cap among PROBED buckets, the incremental semantics — and
+    # the quiet planted pair survives (its bucket holds 1 old member)
+    assert (0, 1002) in got  # uncapped: the hot bucket pairs
     stats: dict = {}
     capped = lsh_incremental_pairs(
         new, old, bands=2, rows_per_band=2, shingle=3, threshold=0.5,
         max_bucket=4, stats=stats)
     capped_pairs = {(r.a, r.b) for r in capped.collect()}
     assert stats["overcap_buckets"] >= 1
-    assert stats["dropped_members"] >= 30
+    assert stats["dropped_members"] >= 5
+    assert (0, 1002) not in capped_pairs  # hot bucket capped away
     assert (50, 1000) in capped_pairs  # its bucket holds 1 old member
 
     # the probe join broadcasts the NEW side
