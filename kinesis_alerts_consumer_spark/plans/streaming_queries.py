@@ -581,13 +581,14 @@ _ST05_DIRS: list[str] = []
 _ST06_DIRS: list[str] = []
 _ST07_DIRS: list[str] = []
 _ST08_DIRS: list[str] = []
+_ST09_DIRS: list[str] = []
 
 
 def _cleanup_scratch_dirs() -> None:
     import shutil
 
     for dirs in (_ST02_DIRS, _ST03_DIRS, _ST04_DIRS, _ST05_DIRS,
-                 _ST06_DIRS, _ST07_DIRS, _ST08_DIRS):
+                 _ST06_DIRS, _ST07_DIRS, _ST08_DIRS, _ST09_DIRS):
         while dirs:
             shutil.rmtree(dirs.pop(), ignore_errors=True)
 
@@ -723,6 +724,129 @@ def _st06_oracle() -> str:
     )
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st09 (r13) — streaming ingest dedup against a STATIC corpus
+    index: the stream-static pattern llm40 serves in batch, run as a
+    real Structured Streaming job. The documents table replays as a
+    file stream standing in for the ingest feed (ids remapped
+    +2,000,000; the first 20 docs mutated with the llm03 device so
+    the result carries near-dups, not just exact twins); each
+    micro-batch runs :func:`~..operators.dedup.lsh_incremental_pairs`
+    in ``foreachBatch`` against the prebuilt
+    :func:`~..operators.dedup.lsh_build_index` table — built once
+    BEFORE the stream starts and read back from parquet, exactly the
+    deployment shape (an index recomputed inside foreachBatch would
+    re-pay the corpus signature pass every micro-batch via lineage).
+
+    Batch-boundary invariance is the theorem the oracle compare
+    proves: a pair depends only on (new doc, corpus), so the union of
+    per-batch probe results equals the one-shot batch llm40 run no
+    matter how the stream is chopped. Each batch overwrites its OWN
+    ``b{batch_id}`` subdir (replay-idempotent, the complete-mode
+    device of ``_run_to_scratch`` applied per batch since batch
+    contents are disjoint by construction); the sunk pairs are read
+    back as one table. Result rows grow with the data — parquet
+    scratch, never the memory sink (the st04 lesson)."""
+    import os
+
+    from ..operators.dedup import lsh_build_index, lsh_incremental_pairs
+
+    configure(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    old = spark.read.parquet(path).select("doc_id", "text")
+    root = _new_scratch(_ST09_DIRS, "st09_incdedup_")
+    idx_path = os.path.join(root, "index")
+    lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
+        .write.partitionBy("band").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    ws = F.split(F.col("text"), " ")
+    new_stream = stream.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.when(
+            (F.col("doc_id") < 20) & (F.size(ws) > 2),
+            F.concat_ws(" ", F.slice(ws, 1, F.size(ws) - 2)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = os.path.join(root, "out")
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = lsh_incremental_pairs(
+            batch_df, old, shingle=3, threshold=0.5, max_bucket=64,
+            index=idx)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id}"))
+
+    q = (
+        new_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.read.parquet(os.path.join(out, "b*")).orderBy("a", "b")
+
+
+SQL_STREAM_INCREMENTAL_DEDUP = """
+WITH newdocs AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         CASE WHEN doc_id < 20 AND len(ws) > 2
+              THEN array_to_string(ws[1:len(ws)-2], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents)),
+w_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents),
+sh_o AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         FROM w_o, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+         WHERE len(ws) >= 3),
+w_n AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM newdocs),
+sh_n AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         FROM w_n, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+         WHERE len(ws) >= 3),
+sig_o AS (SELECT doc_id,
+       min(CAST(('0x'||substr(md5('0:'||s),1,15)) AS BIGINT)) AS mh0,
+       min(CAST(('0x'||substr(md5('1:'||s),1,15)) AS BIGINT)) AS mh1,
+       min(CAST(('0x'||substr(md5('2:'||s),1,15)) AS BIGINT)) AS mh2,
+       min(CAST(('0x'||substr(md5('3:'||s),1,15)) AS BIGINT)) AS mh3
+       FROM sh_o GROUP BY doc_id),
+sig_n AS (SELECT doc_id,
+       min(CAST(('0x'||substr(md5('0:'||s),1,15)) AS BIGINT)) AS mh0,
+       min(CAST(('0x'||substr(md5('1:'||s),1,15)) AS BIGINT)) AS mh1,
+       min(CAST(('0x'||substr(md5('2:'||s),1,15)) AS BIGINT)) AS mh2,
+       min(CAST(('0x'||substr(md5('3:'||s),1,15)) AS BIGINT)) AS mh3
+       FROM sh_n GROUP BY doc_id),
+bb_o AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_o
+         UNION ALL
+         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_o),
+bb_n AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_n
+         UNION ALL
+         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_n),
+keep AS (SELECT band, r0, r1 FROM bb_o GROUP BY band, r0, r1
+         HAVING COUNT(*) <= 64),
+cand AS (SELECT DISTINCT o.doc_id AS a, n.doc_id AS b
+         FROM bb_o o JOIN keep USING (band, r0, r1)
+                     JOIN bb_n n USING (band, r0, r1)),
+tok AS (SELECT DISTINCT doc_id, s FROM sh_o
+        UNION SELECT DISTINCT doc_id, s FROM sh_n),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
+      FROM cand c)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "st01_stream_hourly_rollup": (q_stream_hourly_rollup, SQL_STREAM_HOURLY),
     "st02_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
@@ -734,5 +858,12 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "st08_stream_dedup_within_wm": (
         q_stream_dedup_within_watermark,
         SQL_STREAM_DEDUP_WM,
+    ),
+    # st09 debuts in r13 (outside the r13 window per the rotation
+    # plan; oracle-twinned in pytest + the in-session full-surface
+    # verify until its first driver row in r14+)
+    "st09_stream_incremental_dedup": (
+        q_stream_incremental_dedup,
+        SQL_STREAM_INCREMENTAL_DEDUP,
     ),
 }
