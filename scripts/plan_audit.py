@@ -123,6 +123,18 @@ def main() -> None:
         "plan-asserted text-free in tests/test_plans.py — run llm35's",
         "plan at scale, keep dq10 for SQL portability.",
         "",
+        "Prebuilt-index serving (r13): the `cosine_topk_ivf(index=)` /",
+        "`cosine_topk_pq(index=)` levers are plan-asserted in",
+        "tests/test_llm_queries.py::"
+        "test_prebuilt_index_probes_prune_partitioned_tables — a",
+        "centroid_id-partitioned assignments table probed through the",
+        "IVF index path carries a DynamicPruningExpression in the",
+        "scan's PartitionFilters (runtime DPP; only the nprobe cells'",
+        "files read), and PQ's ADC-phase scans project only code",
+        "columns. llm40's probe plan (broadcast new side, old index",
+        "scanned never shuffled) is pinned in",
+        "test_lsh_incremental_pairs_semantics.",
+        "",
         "WSCG = codegen'd operators / total operators in the EXECUTED",
         "final AQE plan (`*(N)`-annotated). Interpreted remainders are",
         "dominated by higher-order-function lambdas (CodegenFallback by",
