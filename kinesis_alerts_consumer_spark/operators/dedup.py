@@ -466,6 +466,16 @@ _SIGNS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" 
     weakref.WeakKeyDictionary()
 )
 
+# lsh_incremental_pairs index geometry, weak-keyed on the index
+# DataFrame OBJECT (same GC-aliasing rationale as _SIGNS_CACHE): a
+# caller probing the same prebuilt index every micro-batch (st09's
+# foreachBatch) pays the max(band) metadata aggregate ONCE, not once
+# per batch — while a fresh read of the same path is a new object and
+# correctly re-derives.
+_INDEX_GEOM_CACHE: "weakref.WeakKeyDictionary[DataFrame, tuple[int, int]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _hyperplane_sign(band: int, bit: int, j: int) -> int:
     """Deterministic ±1 hyperplane coefficient for (band, bit, dim j).
@@ -984,10 +994,17 @@ def lsh_incremental_pairs(
                 f"rows_per_band={rows_per_band} does not match the "
                 f"prebuilt index's {r_idx} row columns — omit it (it "
                 f"is read from the index) or pass {r_idx}")
-        row = index.agg(F.max("band").alias("mb")).collect()[0]
-        if row["mb"] is None:
-            raise ValueError("prebuilt index is empty — no band rows")
-        b_idx = int(row["mb"]) + 1
+        # band count needs a metadata aggregate; memoize per index
+        # OBJECT so a per-micro-batch caller (st09) pays it once
+        geom = _INDEX_GEOM_CACHE.get(index)
+        if geom is None:
+            row = index.agg(F.max("band").alias("mb")).collect()[0]
+            if row["mb"] is None:
+                raise ValueError(
+                    "prebuilt index is empty — no band rows")
+            geom = (int(row["mb"]) + 1, r_idx)
+            _INDEX_GEOM_CACHE[index] = geom
+        b_idx = geom[0]
         if bands is None:
             bands = b_idx
         elif bands != b_idx:
@@ -1006,6 +1023,13 @@ def lsh_incremental_pairs(
     new_idx = lsh_build_index(
         docs_new, bands=bands, rows_per_band=rows_per_band,
         shingle=shingle)
+    # the new batch's signature lineage is consumed 2-3x below (the
+    # matched-keys broadcast, the candidate-join broadcast, and the
+    # opt-in stats action) — checkpoint it once; it is tiny (batch
+    # rows x bands) and the llm03 counter-measurement (checkpoint
+    # defeating scan-side pruning) does not apply to a computed
+    # signature table with nothing left to prune
+    new_idx = new_idx.localCheckpoint(eager=True)
 
     # map-side semi filter: keep only index rows in buckets the new
     # batch actually probes (the index is scanned, never shuffled)

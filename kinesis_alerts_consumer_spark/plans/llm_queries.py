@@ -19,27 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _scratch
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
 from ..session import configure
 from ..sources import register_tables
 
-# llm40's parquet-scratch index dirs (the streaming_queries scratch
-# discipline: at most one previous dir kept, all removed at exit)
-_LLM40_DIRS: list[str] = []
-
-
-def _cleanup_llm40_scratch() -> None:
-    import shutil
-
-    while _LLM40_DIRS:
-        shutil.rmtree(_LLM40_DIRS.pop(), ignore_errors=True)
-
-
-import atexit  # noqa: E402
-
-atexit.register(_cleanup_llm40_scratch)
+# llm40's parquet-scratch index dirs (rotation + exit-time cleanup in
+# plans._scratch — one registry mechanism for all plans modules)
+_LLM40_DIRS = _scratch.registry()
 
 # ---------------------------------------------------------------- helpers
 
@@ -1546,9 +1535,7 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = t["documents"].select("doc_id", "text")
     new = _mutated_docs(t["documents"]).filter(
         F.col("doc_id") >= 1000000)
-    from .streaming_queries import _new_scratch
-
-    root = _new_scratch(_LLM40_DIRS, "llm40_index_")
+    root = _scratch.new_scratch(_LLM40_DIRS, "llm40_index_")
     D.lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
         .write.partitionBy("band").parquet(root + "/index")
     idx = spark.read.parquet(root + "/index")
@@ -1557,14 +1544,16 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-SQL_INCREMENTAL_NEAR_DUP = f"""
-WITH newdocs AS (
-  SELECT doc_id + 1000000 AS doc_id,
-         CASE WHEN len(ws) > 2
-              THEN array_to_string(ws[1:len(ws)-2], ' ')
-              ELSE text END AS text
-  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-        FROM documents WHERE doc_id < 20)),
+def incremental_near_dup_sql(newdocs_cte: str) -> str:
+    """Oracle template shared by llm40 and st09 (r13 review: the
+    hand-copied twin would let the shingle/minhash/band recipe drift
+    across three edit sites): full-recompute new-vs-old near-dup at
+    the llm03 sizing — per-side shingle/minhash/band CTEs from the
+    same ``_duck_minhash`` recipe, OLD-side-only HAVING cap, old×new
+    candidate join, exact-Jaccard verify >= 0.5. ``newdocs_cte`` is
+    the only variation point: the SELECT defining the new batch."""
+    return f"""
+WITH newdocs AS ({newdocs_cte}),
 w_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
         FROM documents),
 sh_o AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -1598,6 +1587,15 @@ j AS (SELECT c.a, c.b,
 SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
 """
+
+
+SQL_INCREMENTAL_NEAR_DUP = incremental_near_dup_sql("""
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(ws) > 2
+              THEN array_to_string(ws[1:len(ws)-2], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 20)""")
 
 
 LLM_QUERIES: dict[str, tuple] = {

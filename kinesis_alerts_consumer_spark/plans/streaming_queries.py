@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _scratch
 from ..session import configure
 from ..streaming.aggregates import (
     hourly_type_rollup,
@@ -574,42 +575,18 @@ FROM events GROUP BY event_type ORDER BY event_type
 # parquet lazily, so the current one must outlive the call); whatever
 # remains — at most one dir per query — is removed at interpreter
 # exit so repeated invocations can't accumulate parquet/checkpoints.
-_ST02_DIRS: list[str] = []
-_ST03_DIRS: list[str] = []
-_ST04_DIRS: list[str] = []
-_ST05_DIRS: list[str] = []
-_ST06_DIRS: list[str] = []
-_ST07_DIRS: list[str] = []
-_ST08_DIRS: list[str] = []
-_ST09_DIRS: list[str] = []
+_ST02_DIRS = _scratch.registry()
+_ST03_DIRS = _scratch.registry()
+_ST04_DIRS = _scratch.registry()
+_ST05_DIRS = _scratch.registry()
+_ST06_DIRS = _scratch.registry()
+_ST07_DIRS = _scratch.registry()
+_ST08_DIRS = _scratch.registry()
+_ST09_DIRS = _scratch.registry()
 
-
-def _cleanup_scratch_dirs() -> None:
-    import shutil
-
-    for dirs in (_ST02_DIRS, _ST03_DIRS, _ST04_DIRS, _ST05_DIRS,
-                 _ST06_DIRS, _ST07_DIRS, _ST08_DIRS, _ST09_DIRS):
-        while dirs:
-            shutil.rmtree(dirs.pop(), ignore_errors=True)
-
-
-import atexit
-
-atexit.register(_cleanup_scratch_dirs)
-
-
-def _new_scratch(dirs: list[str], prefix: str) -> str:
-    """Rotate: drop all but the most recent previous dir, make a new
-    one. Not safe under concurrent same-process invocation (the plans
-    registry is single-threaded per session by construction)."""
-    import shutil
-    import tempfile
-
-    while len(dirs) > 1:
-        shutil.rmtree(dirs.pop(0), ignore_errors=True)
-    root = tempfile.mkdtemp(prefix=prefix)
-    dirs.append(root)
-    return root
+# rotation + exit-time cleanup live in plans._scratch (one registry
+# mechanism for all plans modules — r13 review)
+_new_scratch = _scratch.new_scratch
 
 
 def q_stream_kayvee_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,57 +771,18 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "b*")).orderBy("a", "b")
 
 
-SQL_STREAM_INCREMENTAL_DEDUP = """
-WITH newdocs AS (
+# the oracle is llm40's full-recompute template (shared so the
+# shingle/minhash/band recipe has ONE edit site — r13 review); only
+# the new-batch CTE differs: ALL docs remapped, first 20 mutated
+from .llm_queries import incremental_near_dup_sql  # noqa: E402
+
+SQL_STREAM_INCREMENTAL_DEDUP = incremental_near_dup_sql("""
   SELECT doc_id + 2000000 AS doc_id,
          CASE WHEN doc_id < 20 AND len(ws) > 2
               THEN array_to_string(ws[1:len(ws)-2], ' ')
               ELSE text END AS text
   FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-        FROM documents)),
-w_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        FROM documents),
-sh_o AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-         FROM w_o, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
-         WHERE len(ws) >= 3),
-w_n AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        FROM newdocs),
-sh_n AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-         FROM w_n, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
-         WHERE len(ws) >= 3),
-sig_o AS (SELECT doc_id,
-       min(CAST(('0x'||substr(md5('0:'||s),1,15)) AS BIGINT)) AS mh0,
-       min(CAST(('0x'||substr(md5('1:'||s),1,15)) AS BIGINT)) AS mh1,
-       min(CAST(('0x'||substr(md5('2:'||s),1,15)) AS BIGINT)) AS mh2,
-       min(CAST(('0x'||substr(md5('3:'||s),1,15)) AS BIGINT)) AS mh3
-       FROM sh_o GROUP BY doc_id),
-sig_n AS (SELECT doc_id,
-       min(CAST(('0x'||substr(md5('0:'||s),1,15)) AS BIGINT)) AS mh0,
-       min(CAST(('0x'||substr(md5('1:'||s),1,15)) AS BIGINT)) AS mh1,
-       min(CAST(('0x'||substr(md5('2:'||s),1,15)) AS BIGINT)) AS mh2,
-       min(CAST(('0x'||substr(md5('3:'||s),1,15)) AS BIGINT)) AS mh3
-       FROM sh_n GROUP BY doc_id),
-bb_o AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_o
-         UNION ALL
-         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_o),
-bb_n AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_n
-         UNION ALL
-         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_n),
-keep AS (SELECT band, r0, r1 FROM bb_o GROUP BY band, r0, r1
-         HAVING COUNT(*) <= 64),
-cand AS (SELECT DISTINCT o.doc_id AS a, n.doc_id AS b
-         FROM bb_o o JOIN keep USING (band, r0, r1)
-                     JOIN bb_n n USING (band, r0, r1)),
-tok AS (SELECT DISTINCT doc_id, s FROM sh_o
-        UNION SELECT DISTINCT doc_id, s FROM sh_n),
-j AS (SELECT c.a, c.b,
-        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
-          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
-        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
-      FROM cand c)
-SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
-FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
-"""
+        FROM documents)""")
 
 
 STREAMING_QUERIES: dict[str, tuple] = {

@@ -91,29 +91,44 @@ def main() -> None:
     arms = (sys.argv[4] if len(sys.argv) > 4 else "BPF").upper()
     spark = get_spark(master="local[32]", shuffle_partitions=32)
 
-    if os.path.exists(SCRATCH):
-        shutil.rmtree(SCRATCH)
-    old = _docs(spark, "o:", 0, n_old)
-    old.write.parquet(f"{SCRATCH}/old")
-    old = spark.read.parquet(f"{SCRATCH}/old")
-
     seeds = [k * (n_old // k_mut) + 3 for k in range(k_mut)]
-    seed_df = old.filter(F.col("doc_id").isin(seeds))
-    mutants = seed_df.select(
-        (F.col("doc_id") + F.lit(MUTANT_OFFSET)).alias("doc_id"),
-        F.array_join(
-            F.transform(
-                F.split("text", " "),
-                lambda w, i: F.when(i == MUTATE_POS,
-                                    F.lit("MUTANT")).otherwise(w),
-            ),
-            " ",
-        ).alias("text"),
-    )
-    fresh = _docs(spark, "f:", n_old + 1_000_000, m_new - k_mut)
-    mutants.unionByName(fresh).write.parquet(f"{SCRATCH}/new")
-    new = spark.read.parquet(f"{SCRATCH}/new")
     planted = [(s, s + MUTANT_OFFSET) for s in seeds]
+
+    # Re-synthesize only when the corpus is missing or the index is
+    # being rebuilt (arms with B). A P- or F-only run REUSES the
+    # existing scratch — that is the whole point of re-measuring the
+    # recurring arms against a standing index (r13 review: the first
+    # cut wiped SCRATCH unconditionally, so any arms subset with P
+    # but not B crashed on the missing index). Reuse assumes the
+    # SAME (N, M, K) as the run that wrote the scratch — the
+    # synthesis is deterministic in those args.
+    if "B" in arms or not os.path.exists(f"{SCRATCH}/old"):
+        if os.path.exists(SCRATCH):
+            shutil.rmtree(SCRATCH)
+        old = _docs(spark, "o:", 0, n_old)
+        old.write.parquet(f"{SCRATCH}/old")
+        old = spark.read.parquet(f"{SCRATCH}/old")
+        seed_df = old.filter(F.col("doc_id").isin(seeds))
+        mutants = seed_df.select(
+            (F.col("doc_id") + F.lit(MUTANT_OFFSET)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w, i: F.when(i == MUTATE_POS,
+                                        F.lit("MUTANT")).otherwise(w),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        fresh = _docs(spark, "f:", n_old + 1_000_000, m_new - k_mut)
+        mutants.unionByName(fresh).write.parquet(f"{SCRATCH}/new")
+    if "P" in arms and "B" not in arms \
+            and not os.path.exists(f"{SCRATCH}/index"):
+        raise SystemExit(
+            "arm P without B needs a standing index — run arms with "
+            "B first (scratch at " + SCRATCH + ")")
+    old = spark.read.parquet(f"{SCRATCH}/old")
+    new = spark.read.parquet(f"{SCRATCH}/new")
 
     bands, rows = suggest_lsh_sizing(n_old + m_new)
     print(f"n_old={n_old} m_new={m_new} k_mut={k_mut} "
