@@ -586,6 +586,95 @@ def suggest_hyperplane_sizing(
     return b, r
 
 
+def _infer_embedding_dim(emb: DataFrame) -> int:
+    """Corpus-wide MIN embedding width over NON-EMPTY rows (the pq
+    _global_sub_len defense): consistent in both engines; callers
+    passing dim explicitly own the ragged-width contract documented
+    on :func:`hyperplane_lsh_pairs`. Restricting to size>=1 keeps the
+    empty/null exclusion promise honest (ADVICE r12): one empty
+    (size 0) or null (size -1) embedding must not drive the inferred
+    dim to <= 0 and abort the whole call — such rows posexplode into
+    no dot rows and drop out of candidates."""
+    row = emb.agg(
+        F.min(F.when(F.size("embedding") >= 1,
+                     F.size("embedding"))).alias("d")
+    ).collect()[0]
+    return int(row["d"]) if row["d"] is not None else 1
+
+
+def _hyperplane_banded(
+    emb: DataFrame,
+    bands: int,
+    bits_per_band: int,
+    dim: int,
+    id_col: str,
+) -> DataFrame:
+    """(id_col, bucket struct(band int, bits string)) — the shared
+    signature machinery of :func:`hyperplane_lsh_pairs`, factored
+    in r13 so :func:`hyperplane_build_index` /
+    :func:`hyperplane_incremental_pairs` reuse the IDENTICAL
+    expressions (signs memoized per session; scan-side posexplode
+    to integer micros; broadcast signs table; map-side partial
+    integer sums). Full design rationale lives on
+    :func:`hyperplane_lsh_pairs`."""
+    n_bits = bands * bits_per_band
+    # signs table: dim rows x (pos, s_0..s_{b*r-1}) — tiny, broadcast.
+    # The plan-time hashlib literals live HERE (and verbatim in the
+    # SQL oracle), not unrolled into per-stage expressions. Memoized
+    # per (session, sizing, dim) so repeated calls share ONE plan
+    # node — keeps the stats-on/off plans byte-identical
+    # (sameSemantics-pinned) and skips the rebuild.
+    spark = emb.sparkSession
+    s_cols = [f"s_{k}" for k in range(n_bits)]
+    per_session = _SIGNS_CACHE.setdefault(spark, {})
+    cache_key = (bands, bits_per_band, dim)
+    signs = per_session.get(cache_key)
+    if signs is None:
+        sign_rows = [
+            (j, *[_hyperplane_sign(b, r, j)
+                  for b in range(bands) for r in range(bits_per_band)])
+            for j in range(dim)
+        ]
+        signs = spark.createDataFrame(
+            sign_rows, ", ".join(["pos int"] + [f"{c} int" for c in s_cols])
+        )
+        per_session[cache_key] = signs
+    # quantize to exact integer micros (llm30): integer sums commute,
+    # so the groupBy needs no ordering contract and both engines
+    # agree bit-for-bit on every sign decision
+    ex = (
+        spread_for_compute(emb)
+        .select(F.col(id_col), F.posexplode("embedding").alias("pos", "_v"))
+        .filter(F.col("pos") < dim)
+        .select(
+            id_col, "pos",
+            F.floor(F.col("_v").cast("double") * F.lit(1_000_000.0))
+            .cast("bigint").alias("_q"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(signs), "pos")
+        .groupBy(id_col)
+        .agg(*[F.sum(F.col(c) * F.col("_q")).alias(f"d_{k}")
+               for k, c in enumerate(s_cols)])
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[
+                F.when(F.col(f"d_{b * bits_per_band + r}") >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for r in range(bits_per_band)
+            ]).alias("bits"),
+        )
+        for b in range(bands)
+    ]
+    banded = dots.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    return banded
+
+
 def hyperplane_lsh_pairs(
     emb: DataFrame,
     bands: int = 6,
@@ -689,19 +778,7 @@ def hyperplane_lsh_pairs(
             stats["n_vecs_estimate"] = n_vecs
             stats["n_vecs_sized_for"] = hll_buffered_count(n_vecs)
     if dim is None:
-        # corpus-wide MIN width over NON-EMPTY rows (the pq
-        # _global_sub_len defense): consistent in both engines;
-        # callers passing dim explicitly own the contract documented
-        # above. Restricting to size>=1 keeps the docstring's
-        # empty/null exclusion promise honest (ADVICE r12): one empty
-        # (size 0) or null (size -1) embedding must not drive the
-        # inferred dim to <= 0 and abort the whole call — such rows
-        # posexplode into no dot rows and drop out of candidates.
-        row = emb.agg(
-            F.min(F.when(F.size("embedding") >= 1,
-                         F.size("embedding"))).alias("d")
-        ).collect()[0]
-        dim = int(row["d"]) if row["d"] is not None else 1
+        dim = _infer_embedding_dim(emb)
     if dim < 1:
         raise ValueError(f"embedding dim must be >= 1, got {dim}")
     n_bits = bands * bits_per_band
@@ -714,60 +791,7 @@ def hyperplane_lsh_pairs(
             "projection (similarity.random_projection, llm34), or "
             "pass a coarser explicit (bands, bits_per_band).")
 
-    # signs table: dim rows x (pos, s_0..s_{b*r-1}) — tiny, broadcast.
-    # The plan-time hashlib literals live HERE (and verbatim in the
-    # SQL oracle), not unrolled into per-stage expressions. Memoized
-    # per (session, sizing, dim) so repeated calls share ONE plan
-    # node — keeps the stats-on/off plans byte-identical
-    # (sameSemantics-pinned) and skips the rebuild.
-    spark = emb.sparkSession
-    s_cols = [f"s_{k}" for k in range(n_bits)]
-    per_session = _SIGNS_CACHE.setdefault(spark, {})
-    cache_key = (bands, bits_per_band, dim)
-    signs = per_session.get(cache_key)
-    if signs is None:
-        sign_rows = [
-            (j, *[_hyperplane_sign(b, r, j)
-                  for b in range(bands) for r in range(bits_per_band)])
-            for j in range(dim)
-        ]
-        signs = spark.createDataFrame(
-            sign_rows, ", ".join(["pos int"] + [f"{c} int" for c in s_cols])
-        )
-        per_session[cache_key] = signs
-    # quantize to exact integer micros (llm30): integer sums commute,
-    # so the groupBy needs no ordering contract and both engines
-    # agree bit-for-bit on every sign decision
-    ex = (
-        spread_for_compute(emb)
-        .select(F.col(id_col), F.posexplode("embedding").alias("pos", "_v"))
-        .filter(F.col("pos") < dim)
-        .select(
-            id_col, "pos",
-            F.floor(F.col("_v").cast("double") * F.lit(1_000_000.0))
-            .cast("bigint").alias("_q"),
-        )
-    )
-    dots = (
-        ex.join(F.broadcast(signs), "pos")
-        .groupBy(id_col)
-        .agg(*[F.sum(F.col(c) * F.col("_q")).alias(f"d_{k}")
-               for k, c in enumerate(s_cols)])
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*[
-                F.when(F.col(f"d_{b * bits_per_band + r}") >= 0, F.lit("1"))
-                .otherwise(F.lit("0"))
-                for r in range(bits_per_band)
-            ]).alias("bits"),
-        )
-        for b in range(bands)
-    ]
-    banded = dots.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
-    )
+    banded = _hyperplane_banded(emb, bands, bits_per_band, dim, id_col)
     buckets = banded.groupBy("bucket").agg(
         F.collect_list(id_col).alias("_ids")
     )
@@ -808,6 +832,205 @@ def hyperplane_lsh_pairs(
     )
     return (
         pairs.select(
+            "a", "b",
+            F.round(
+                F.try_divide(dot(F.col("_ea"), F.col("_eb")),
+                             F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
+def hyperplane_build_index(
+    emb: DataFrame,
+    bands: int = 6,
+    bits_per_band: int = 6,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Durable banded-hyperplane bucket table for an existing
+    embedding corpus — (vec_id, band, bits), one row per (vector,
+    band); the cosine-family twin of :func:`lsh_build_index` and the
+    near-dup analogue of the ANN family's ``ivf_assign``/``pq_encode``
+    artifacts. Built once over the historical corpus (b·r integer-sum
+    dots per vector, the expensive pass), written ``partitionBy
+    ("band")``; every future embedding batch probes it through
+    :func:`hyperplane_incremental_pairs` without re-signing or
+    re-shuffling the corpus.
+
+    The banding is byte-identical to :func:`hyperplane_lsh_pairs`'s
+    in-line form (shared :func:`_hyperplane_banded` machinery: the
+    same plan-time ±1 hashlib literals, the same integer-micro
+    quantization). RECORD THE ``dim`` YOU BUILD WITH: unlike bands
+    (``max(band)+1``) and bits (``length(bits)``), the hyperplane
+    dimensionality is not recoverable from the table, and probing
+    with a different dim signs different coordinates — the probe
+    requires it explicitly (the ``shingle`` contract of
+    :func:`lsh_incremental_pairs`). ``dim=None`` infers the corpus
+    MIN non-empty width."""
+    if bands < 1 or bits_per_band < 1:
+        raise ValueError("bands and bits_per_band must be >= 1")
+    if dim is None:
+        dim = _infer_embedding_dim(emb)
+    if dim < 1:
+        raise ValueError(f"embedding dim must be >= 1, got {dim}")
+    banded = _hyperplane_banded(emb, bands, bits_per_band, dim, id_col)
+    return banded.select(
+        F.col(id_col),
+        F.col("bucket.band").alias("band"),
+        F.col("bucket.bits").alias("bits"),
+    )
+
+
+def hyperplane_incremental_pairs(
+    emb_new: DataFrame,
+    emb_old: DataFrame,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
+    dim: int | None = None,
+    threshold: float = 0.9,
+    max_bucket: int | None = 1024,
+    index: DataFrame | None = None,
+    stats: dict | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs of a NEW batch against an EXISTING
+    corpus — returns ``(a, b, cos)`` with ``a`` an old vec_id, ``b``
+    a new vec_id, exact cosine ``>= threshold`` (rounded to 6, the
+    llm05 convention). The cosine-family twin of
+    :func:`lsh_incremental_pairs`: only new-vs-old pairs, the corpus
+    side served from the prebuilt :func:`hyperplane_build_index`
+    table.
+
+    Geometry contract (the r13 PQ/lsh-index discipline): with
+    ``index=``, bands (``max(band)+1``) and bits_per_band
+    (``length(bits)``) are read from the table in ONE memoized
+    metadata aggregate (weak-keyed per index object — a
+    per-micro-batch caller pays it once); explicit mismatches raise.
+    ``dim`` is NOT recoverable and must be passed explicitly with
+    ``index=`` — a silent dim drift would sign different coordinates
+    on the probe side and quietly zero recall. Old/new id spaces must
+    be disjoint (the verify distinguishes sides by id).
+
+    Physical shape: identical to :func:`lsh_incremental_pairs` — the
+    index is scanned, never shuffled (broadcast matched-keys semi
+    filter; map-side partial membership counts; broadcast anti-join
+    cap on OLD membership among PROBED buckets, output-identical to
+    the corpus-wide cap since unmatched buckets contribute nothing;
+    ``stats`` light reports probed-bucket drops); the exact-cosine
+    verify joins embeddings left-semi-pruned to suspected ids, norms
+    precomputed per vector (the llm39 device)."""
+    if index is not None:
+        if dim is None:
+            raise ValueError(
+                "dim is part of the index geometry and is not "
+                "recoverable from the table — pass the dim the index "
+                "was built with (hyperplane_build_index records it in "
+                "its docstring contract)")
+        if "band" not in index.columns or "bits" not in index.columns:
+            raise ValueError(
+                "prebuilt index must carry (vec_id, band, bits) — "
+                "build it with hyperplane_build_index")
+        geom = _INDEX_GEOM_CACHE.get(index)
+        if geom is None:
+            row = index.agg(
+                F.max("band").alias("mb"),
+                F.max(F.length("bits")).alias("lb"),
+            ).collect()[0]
+            if row["mb"] is None:
+                raise ValueError("prebuilt index is empty — no band rows")
+            geom = (int(row["mb"]) + 1, int(row["lb"]))
+            _INDEX_GEOM_CACHE[index] = geom
+        b_idx, r_idx = geom
+        if bands is None:
+            bands = b_idx
+        elif bands != b_idx:
+            raise ValueError(
+                f"bands={bands} does not match the prebuilt index's "
+                f"{b_idx} bands — omit it (it is read from the index) "
+                f"or pass {b_idx}")
+        if bits_per_band is None:
+            bits_per_band = r_idx
+        elif bits_per_band != r_idx:
+            raise ValueError(
+                f"bits_per_band={bits_per_band} does not match the "
+                f"prebuilt index's {r_idx}-bit band values — omit it "
+                f"(it is read from the index) or pass {r_idx}")
+        old_idx = index
+    else:
+        bands = 6 if bands is None else bands
+        bits_per_band = 6 if bits_per_band is None else bits_per_band
+        if dim is None:
+            dim = _infer_embedding_dim(emb_old)
+        old_idx = hyperplane_build_index(
+            emb_old, bands=bands, bits_per_band=bits_per_band,
+            dim=dim, id_col=id_col)
+    if dim < 1:
+        raise ValueError(f"embedding dim must be >= 1, got {dim}")
+    if bands * bits_per_band > 4096:
+        raise ValueError(
+            f"hyperplane sizing asks for {bands * bits_per_band} bits "
+            "— beyond ~4096 the parameters are fighting the data; "
+            "reduce dimensionality first (similarity."
+            "random_projection, llm34) or pass a coarser sizing")
+
+    keys = ["band", "bits"]
+    new_idx = _hyperplane_banded(
+        emb_new, bands, bits_per_band, dim, id_col
+    ).select(
+        F.col(id_col),
+        F.col("bucket.band").alias("band"),
+        F.col("bucket.bits").alias("bits"),
+    )
+    # the batch signature lineage feeds 2-3 consumers below — one
+    # checkpoint, tiny table (the lsh_incremental_pairs rationale)
+    new_idx = new_idx.localCheckpoint(eager=True)
+
+    matched_keys = new_idx.select(*keys).distinct()
+    old_matched = old_idx.join(F.broadcast(matched_keys), keys)
+
+    if max_bucket is not None:
+        counts = old_matched.groupBy(*keys).agg(F.count("*").alias("_n"))
+        over = counts.filter(F.col("_n") > max_bucket)
+        if stats is not None:
+            _overcap_light(over, F.col("_n"), stats)
+        old_matched = old_matched.join(
+            F.broadcast(over.select(*keys)), keys, "left_anti")
+    elif stats is not None:
+        _zero_light(stats)
+
+    cand = (
+        old_matched.join(
+            F.broadcast(new_idx.withColumnRenamed(id_col, "_new_id")),
+            keys)
+        .select(F.col(id_col).alias("a"), F.col("_new_id").alias("b"))
+        .distinct()
+    )
+
+    from .similarity import dot, norm
+
+    old_needed = emb_old.join(
+        cand.select(F.col("a").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    new_needed = emb_new.join(
+        cand.select(F.col("b").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    vecs_a = old_needed.select(
+        F.col(id_col).alias("a"),
+        F.col("embedding").alias("_ea"),
+        norm(F.col("embedding")).alias("_na"),
+    )
+    vecs_b = new_needed.select(
+        F.col(id_col).alias("b"),
+        F.col("embedding").alias("_eb"),
+        norm(F.col("embedding")).alias("_nb"),
+    )
+    return (
+        cand.join(vecs_a, "a")
+        .join(vecs_b, "b")
+        .select(
             "a", "b",
             F.round(
                 F.try_divide(dot(F.col("_ea"), F.col("_eb")),

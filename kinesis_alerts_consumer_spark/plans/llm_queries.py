@@ -29,6 +29,7 @@ from ..sources import register_tables
 # llm40's parquet-scratch index dirs (rotation + exit-time cleanup in
 # plans._scratch — one registry mechanism for all plans modules)
 _LLM40_DIRS = _scratch.registry()
+_LLM41_DIRS = _scratch.registry()
 
 # ---------------------------------------------------------------- helpers
 
@@ -1598,6 +1599,104 @@ SQL_INCREMENTAL_NEAR_DUP = incremental_near_dup_sql("""
         FROM documents WHERE doc_id < 20)""")
 
 
+def q_hyperplane_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm41 — the embedding-family twin of llm40: a NEW embedding
+    batch (llm27's planted copies — 30 exact at +1000000, 30
+    first-coordinate-perturbed at +2000000) deduped against the
+    embeddings table through a prebuilt
+    dedup.hyperplane_build_index table at llm39's (6, 6)/dim=64.
+    Served from parquet scratch (the llm40 lineage lesson); exact
+    pairs land at cos 1.0, perturbed ones cross 0.9 or not on
+    bit-identical doubles (the llm27 device)."""
+    t = _tables(spark, sf_dir)
+    old = t["embeddings"].select("vec_id", "embedding")
+    new = _semdedup_base(t["embeddings"]).filter(
+        F.col("vec_id") >= 1000000)
+    root = _scratch.new_scratch(_LLM41_DIRS, "llm41_index_")
+    D.hyperplane_build_index(old, bands=6, bits_per_band=6, dim=64) \
+        .write.partitionBy("band").parquet(root + "/index")
+    idx = spark.read.parquet(root + "/index")
+    return D.hyperplane_incremental_pairs(
+        new, old, dim=64, threshold=0.9, max_bucket=1024, index=idx,
+    ).orderBy("a", "b")
+
+
+def _hyperplane_incremental_sql() -> str:
+    """Oracle twin of q_hyperplane_incremental: the llm39 generator's
+    two-sided form — the SAME ±1 hashlib literals as one VALUES
+    table, per-side posexplode/integer-micro dots/banding, OLD-side
+    HAVING cap (probed-only capping in Spark is output-identical:
+    unmatched over-cap buckets produce no candidates), old×new
+    candidate join, exact-cosine verify ≥ 0.9."""
+    from ..operators.dedup import _hyperplane_sign
+
+    dim, bands, bits = 64, 6, 6
+    n_bits = bands * bits
+    hp_rows = ", ".join(
+        "(" + ", ".join(
+            [str(j)] + [str(_hyperplane_sign(b, r, j))
+                        for b in range(bands) for r in range(bits)]
+        ) + ")"
+        for j in range(dim)
+    )
+    hp_cols = ", ".join(["pos"] + [f"s_{k}" for k in range(n_bits)])
+    dot_sums = ", ".join(
+        f"SUM(s_{k} * q) AS d_{k}" for k in range(n_bits)
+    )
+
+    def band_selects(dots_cte: str) -> str:
+        return "\nUNION ALL\n".join(
+            "SELECT vec_id, '" + str(b) + ":' || " + " || ".join(
+                f"(CASE WHEN d_{b * bits + r} >= 0 THEN '1' ELSE '0' END)"
+                for r in range(bits)
+            ) + f" AS bucket FROM {dots_cte}"
+            for b in range(bands)
+        )
+
+    return f"""
+WITH old_side AS (SELECT vec_id, embedding FROM embeddings),
+new_side AS (
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 30
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_prepend(CAST(embedding[1] + 0.5 AS FLOAT), embedding[2:])
+           AS embedding
+  FROM embeddings WHERE vec_id < 30),
+hp({hp_cols}) AS (VALUES {hp_rows}),
+ex_o AS (SELECT vec_id, i.i - 1 AS pos,
+              CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS q
+       FROM old_side, generate_series(1, {dim}) AS i(i)
+       WHERE len(embedding) >= i.i),
+dots_o AS (SELECT vec_id, {dot_sums}
+           FROM ex_o JOIN hp USING (pos) GROUP BY vec_id),
+bb_o AS ({band_selects("dots_o")}),
+ex_n AS (SELECT vec_id, i.i - 1 AS pos,
+              CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS q
+       FROM new_side, generate_series(1, {dim}) AS i(i)
+       WHERE len(embedding) >= i.i),
+dots_n AS (SELECT vec_id, {dot_sums}
+           FROM ex_n JOIN hp USING (pos) GROUP BY vec_id),
+bb_n AS ({band_selects("dots_n")}),
+keep AS (SELECT bucket FROM bb_o GROUP BY bucket
+         HAVING COUNT(*) <= 1024),
+cand AS (SELECT DISTINCT o.vec_id AS a, n.vec_id AS b
+         FROM bb_o o JOIN keep USING (bucket)
+                     JOIN bb_n n USING (bucket)),
+p AS (SELECT c.a, c.b,
+             {_DUCK_COS.format(a='la.embedding', b='rb.embedding')} AS cos
+      FROM cand c
+      JOIN old_side la ON la.vec_id = c.a
+      JOIN new_side rb ON rb.vec_id = c.b)
+SELECT a, b, cos FROM p WHERE cos >= 0.9 ORDER BY a, b
+"""
+
+
+SQL_HYPERPLANE_INCREMENTAL = _hyperplane_incremental_sql()
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1653,5 +1752,9 @@ LLM_QUERIES: dict[str, tuple] = {
     "llm40_incremental_near_dup": (
         q_incremental_near_dup,
         SQL_INCREMENTAL_NEAR_DUP,
+    ),
+    "llm41_hyperplane_incremental": (
+        q_hyperplane_incremental,
+        SQL_HYPERPLANE_INCREMENTAL,
     ),
 }

@@ -911,6 +911,88 @@ def test_lsh_incremental_pairs_semantics(spark):
     }
 
 
+def test_hyperplane_incremental_pairs_semantics(spark):
+    """llm41's operator (r13): the embedding-family twin of
+    lsh_incremental_pairs. Pins: inline build == prebuilt index ==
+    parquet roundtrip; geometry (bands from max(band)+1, bits from
+    length(bits)) read from the table with explicit mismatches
+    raising; dim REQUIRED with index= (not recoverable); new-vs-old
+    pairs only; old-side probed-bucket cap + light; broadcast probe
+    (the old index never shuffles)."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_build_index,
+        hyperplane_incremental_pairs,
+    )
+
+    base = [1.0, 2.0, 3.0, 4.0, -1.0, -2.0, -3.0, -4.0]
+    old = spark.createDataFrame(
+        [(i, [float(x) * (1 + 0.001 * i) for x in base])
+         for i in range(20)]  # colinear cluster: one hot bucket
+        + [(50, [4.0, -3.0, 2.0, -1.0, 0.5, 1.5, -2.5, 3.5])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        # exact dup of 50 (identical signs at any sizing) + a vector
+        # probing the colinear cluster's hot bucket + an orthogonal-ish
+        # stranger
+        [(1000, [4.0, -3.0, 2.0, -1.0, 0.5, 1.5, -2.5, 3.5]),
+         (1001, [float(x) for x in base]),
+         (1002, [-4.0, 3.0, -2.0, 1.0, -0.5, -1.5, 2.5, -3.5])],
+        "vec_id long, embedding array<double>",
+    )
+
+    inline = hyperplane_incremental_pairs(
+        new, old, bands=4, bits_per_band=4, dim=8, threshold=0.9)
+    got = {(r.a, r.b): r.cos for r in inline.collect()}
+    assert got.get((50, 1000)) == 1.0
+    assert all(a < 1000 and b >= 1000 for a, b in got)
+    # the colinear probes pair at cos ~1 with the whole cluster
+    assert (0, 1001) in got and got[(0, 1001)] >= 0.9
+
+    idx = hyperplane_build_index(old, bands=4, bits_per_band=4, dim=8)
+    prebuilt = hyperplane_incremental_pairs(
+        new, old, dim=8, threshold=0.9, index=idx)
+    assert {(r.a, r.b, r.cos) for r in prebuilt.collect()} == {
+        (r.a, r.b, r.cos) for r in inline.collect()
+    }
+    # geometry from the index; mismatches and missing dim raise
+    with pytest.raises(ValueError, match="dim is part"):
+        hyperplane_incremental_pairs(new, old, index=idx)
+    with pytest.raises(ValueError, match="bands"):
+        hyperplane_incremental_pairs(new, old, bands=6, dim=8, index=idx)
+    with pytest.raises(ValueError, match="bits_per_band"):
+        hyperplane_incremental_pairs(new, old, bits_per_band=6, dim=8,
+                                     index=idx)
+
+    # a tight cap drops the probed hot bucket (20 colinear old
+    # members), the light reports it, the quiet planted pair survives
+    stats: dict = {}
+    capped = hyperplane_incremental_pairs(
+        new, old, bands=4, bits_per_band=4, dim=8, threshold=0.9,
+        max_bucket=4, stats=stats)
+    capped_pairs = {(r.a, r.b) for r in capped.collect()}
+    assert stats["overcap_buckets"] >= 1
+    assert stats["dropped_members"] >= 20
+    assert (0, 1001) not in capped_pairs
+    assert (50, 1000) in capped_pairs
+
+    # broadcast probe + parquet roundtrip (geometry re-derived)
+    plan = prebuilt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    idx.write.partitionBy("band").parquet(d + "/hp_index")
+    idx2 = spark.read.parquet(d + "/hp_index")
+    roundtrip = hyperplane_incremental_pairs(
+        new, old, dim=8, threshold=0.9, index=idx2)
+    assert {(r.a, r.b, r.cos) for r in roundtrip.collect()} == {
+        (r.a, r.b, r.cos) for r in inline.collect()
+    }
+
+
 def test_hyperplane_gated_fixture_candidate_volume_is_a_contract(spark):
     """VERDICT r12 item 4 (resolution: record, don't resize): llm39's
     gated literal (6, 6)/dim=64 IS the suggest_hyperplane_sizing
