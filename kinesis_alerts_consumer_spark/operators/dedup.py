@@ -1011,11 +1011,14 @@ def hyperplane_incremental_pairs(
 
     from .similarity import dot, norm
 
+    # broadcast the suspected-id sets (the lsh_incremental_pairs
+    # lesson: an AQE-planned semi join can shuffle the whole corpus's
+    # embeddings on vec_id; the id set is candidate-bounded)
     old_needed = emb_old.join(
-        cand.select(F.col("a").alias(id_col)).distinct(),
+        F.broadcast(cand.select(F.col("a").alias(id_col)).distinct()),
         id_col, "left_semi")
     new_needed = emb_new.join(
-        cand.select(F.col("b").alias(id_col)).distinct(),
+        F.broadcast(cand.select(F.col("b").alias(id_col)).distinct()),
         id_col, "left_semi")
     vecs_a = old_needed.select(
         F.col(id_col).alias("a"),
@@ -1282,12 +1285,17 @@ def lsh_incremental_pairs(
         .distinct()
     )
 
-    # verify on text pruned to the SUSPECTED ids only
+    # verify on text pruned to the SUSPECTED ids only. The id sets
+    # are explicitly BROADCAST: left to AQE the semi join can plan as
+    # a sort-merge and shuffle the WHOLE corpus text on doc_id (the
+    # r13 plan audit caught exactly that after the checkpoint change
+    # shifted the runtime stats) — the id set is bounded by the
+    # capped candidate volume, the corpus is not.
     old_needed = docs_old.join(
-        cand.select(F.col("a").alias("doc_id")).distinct(),
+        F.broadcast(cand.select(F.col("a").alias("doc_id")).distinct()),
         "doc_id", "left_semi")
     new_needed = docs_new.join(
-        cand.select(F.col("b").alias("doc_id")).distinct(),
+        F.broadcast(cand.select(F.col("b").alias("doc_id")).distinct()),
         "doc_id", "left_semi")
     verify_docs = old_needed.select("doc_id", "text").unionByName(
         new_needed.select("doc_id", "text"))
