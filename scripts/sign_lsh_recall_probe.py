@@ -217,6 +217,43 @@ def main() -> None:
             print(f"[D banded auto] pairs={n_pairs} "
                   f"count_wall={time.monotonic() - t0:.1f}s", flush=True)
 
+    # I: the r13 incremental form — the 20 mutants arrive as a NEW
+    # batch probing a prebuilt hyperplane index of the base corpus
+    # (llm41's serving shape). Same planted pairs, so recall is
+    # directly comparable to arm D; the walls split into the one-time
+    # index build and the per-batch probe — the whole point of the
+    # operator vs re-running D on corpus ∪ batch per batch.
+    if "I" in arms:
+        from kinesis_alerts_consumer_spark.operators.dedup import (
+            hyperplane_build_index,
+            hyperplane_incremental_pairs,
+            hll_buffered_count,
+            suggest_hyperplane_sizing,
+        )
+
+        ib, ir = suggest_hyperplane_sizing(hll_buffered_count(n))
+        idx_path = SCRATCH + "_hpindex"
+        if os.path.exists(idx_path):
+            shutil.rmtree(idx_path)
+        t0 = time.monotonic()
+        hyperplane_build_index(
+            base, bands=ib, bits_per_band=ir, dim=dim
+        ).write.partitionBy("band").parquet(idx_path)
+        t_build = time.monotonic() - t0
+        idx = spark.read.parquet(idx_path)
+        istats: dict = {}
+        t0 = time.monotonic()
+        ip = hyperplane_incremental_pairs(
+            mutants, base, dim=dim, threshold=0.9, index=idx,
+            stats=istats)
+        got_pairs = {(r.a, r.b) for r in ip.collect()}
+        t_probe = time.monotonic() - t0
+        got = sum((a, b) in got_pairs for a, b in planted)
+        print(f"[I incremental] sizing=({ib},{ir}) "
+              f"build_wall={t_build:.1f}s probe_wall={t_probe:.1f}s "
+              f"pairs={len(got_pairs)} planted_recall={got}/20 "
+              f"stats={istats}", flush=True)
+
 
 if __name__ == "__main__":
     main()
