@@ -54,19 +54,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 48 keys last green in r12 are exactly the 48-key r12 window
 # (dq01/02, ext01-04, ext07, kv01-05, llm01-13, llm15-23, llm25,
 # llm33, llm35, llm36, llm38, mm01-03, st01/02/04/05, vol02/03).
-# FOUR keys now lack a recent/any driver row and take priority
+# FIVE keys now lack a recent/any driver row and take priority
 # seats: dq05 (last green r11, displaced in r13) and the r13
 # debutantes llm40_incremental_near_dup, llm41_hyperplane_incremental,
-# st09_stream_incremental_dedup (never driver-verified; oracle-
-# twinned at sf0.001/0.01/0.1 + five full-surface verifies, r13).
-# Displace the FOUR stablest r12-window keys for them (suggest
-# dq01_filter_project, dq02_join_agg, ext03_pivot, mm03_resize_plan
-# — all green since r1-r5 with trivial plans) and cover each
-# displaced key via the substitute protocol (in-session full-surface
-# verify cited in the rotation commit). With 100 oracle-backed keys
-# and 2x48=96 slots, four keys per cycle ride the substitute
-# protocol from here on — rotate WHICH four each round. Keep ext06
-# then ext05 pinned at positions 49-50.
+# llm42_split_assign, st09_stream_incremental_dedup (never
+# driver-verified; each oracle-twinned at sf0.001/0.01/0.1 + the
+# r13 full-surface verifies). Displace the FIVE stablest r12-window
+# keys for them (suggest dq01_filter_project, dq02_join_agg,
+# ext03_pivot, mm03_resize_plan, llm16_hash_sample — all green since
+# r1-r5 with trivial plans) and cover each displaced key via the
+# substitute protocol (in-session full-surface verify cited in the
+# rotation commit). With 101 oracle-backed keys and 2x48=96 slots,
+# five keys per cycle ride the substitute protocol from here on —
+# rotate WHICH five each round. Keep ext06 then ext05 pinned at
+# positions 49-50.
 _R13_WINDOW = frozenset(
     ["dq03_window_topk", "dq04_rollup"]
     # dq05_regex_extract intentionally absent: displaced for llm39

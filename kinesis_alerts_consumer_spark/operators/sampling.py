@@ -55,6 +55,66 @@ def stratified_rates(rates: Mapping[str, int], stratum: Column, default: int) ->
     return expr.otherwise(default) if expr is not None else F.lit(default)
 
 
+def split_assign(
+    df: DataFrame,
+    key: Column,
+    splits: Mapping[str, int],
+    shards: int = 0,
+    modulus: int = 1_000_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split + export-shard assignment —
+    the training-pipeline staple :func:`hash_sample` does not cover:
+    every document gets exactly ONE ``split`` label by hash-range
+    over ``hash60(salt:key) % modulus``, with ``splits`` mapping
+    name → width in parts-of-``modulus`` (must sum to it exactly —
+    no silent remainder bucket), in the caller's insertion order.
+
+    Why hash-range and not count-based quotas: assignments are pure
+    column math — zero shuffle, retry-stable, reproducible across
+    engines — and APPEND-STABLE: adding documents to the corpus never
+    moves an existing document's split, which is the leakage
+    guarantee an eval set needs across corpus snapshots (a
+    quota/ROW_NUMBER scheme reassigns on every re-run). ``shards``
+    adds an export shard id from an INDEPENDENT hash (different salt
+    domain), so shard membership is uncorrelated with split
+    membership — sharding train data by the same hash that chose
+    'train' would make every shard a biased slice of the key space.
+    ``salt`` namespaces the whole assignment: two pipelines splitting
+    the same corpus with different salts draw independent eval sets.
+    """
+    widths = list(splits.items())
+    if not widths:
+        raise ValueError("splits must name at least one range")
+    total = sum(w for _, w in widths)
+    if total != modulus:
+        raise ValueError(
+            f"split widths must sum to modulus={modulus} exactly, "
+            f"got {total} — no silent remainder bucket")
+    if any(w <= 0 for _, w in widths):
+        raise ValueError("every split width must be positive")
+    h = _hash60(
+        F.concat(F.lit(f"{salt}:"), key.cast("string"))) % modulus
+    expr = None
+    acc = 0
+    for name, width in widths[:-1]:
+        acc += width
+        cond = h < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = widths[-1][0]
+    split_col = F.lit(last) if expr is None else expr.otherwise(last)
+    out = df.withColumn("split", split_col)
+    if shards:
+        if shards < 0:
+            raise ValueError(f"shards must be >= 0, got {shards}")
+        out = out.withColumn(
+            "shard",
+            (_hash60(F.concat(F.lit(f"{salt}#shard:"),
+                              key.cast("string"))) % shards).cast("int"),
+        )
+    return out
+
+
 def pack_sequences(
     docs: DataFrame,
     token_count: Column,

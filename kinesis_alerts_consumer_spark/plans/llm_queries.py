@@ -1697,6 +1697,50 @@ SELECT a, b, cos FROM p WHERE cos >= 0.9 ORDER BY a, b
 SQL_HYPERPLANE_INCREMENTAL = _hyperplane_incremental_sql()
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm42 — deterministic train/val/test split + export shards
+    (sampling.split_assign): 98/1/1% hash-range assignment over
+    md5(doc_id) with 8 independent-hash shards; profiled per
+    (split, shard) with doc and token counts so the oracle gates both
+    assignment hashes. Pure column math — zero pre-aggregation
+    shuffle, append-stable (new docs never move old assignments)."""
+    from ..operators import sampling as SA
+
+    t = _tables(spark, sf_dir)
+    assigned = SA.split_assign(
+        t["documents"],
+        F.col("doc_id"),
+        {"train": 980_000, "val": 10_000, "test": 10_000},
+        shards=8,
+    )
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        assigned.groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(ntok).alias("tokens"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+_H_SPLIT = _HASH60_DUCK.format(x="'split:' || CAST(doc_id AS VARCHAR)")
+_H_SHARD = _HASH60_DUCK.format(
+    x="'split#shard:' || CAST(doc_id AS VARCHAR)")
+SQL_SPLIT_ASSIGN = f"""
+WITH a AS (
+  SELECT CASE WHEN {_H_SPLIT} % 1000000 < 980000 THEN 'train'
+              WHEN {_H_SPLIT} % 1000000 < 990000 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST({_H_SHARD} % 8 AS INT) AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS ntok
+  FROM documents)
+SELECT split, shard, COUNT(*) AS docs,
+       CAST(SUM(ntok) AS BIGINT) AS tokens
+FROM a GROUP BY split, shard ORDER BY split, shard
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "llm01_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm02_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -1757,4 +1801,5 @@ LLM_QUERIES: dict[str, tuple] = {
         q_hyperplane_incremental,
         SQL_HYPERPLANE_INCREMENTAL,
     ),
+    "llm42_split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
 }

@@ -911,6 +911,65 @@ def test_lsh_incremental_pairs_semantics(spark):
     }
 
 
+def test_split_assign_semantics(spark):
+    """llm42's operator (r13): hash-range split + independent shard.
+    Pins: exhaustive partition (every row exactly one split), widths
+    must sum to the modulus (no silent remainder), append-stability
+    (a row's assignment never depends on the rest of the corpus),
+    shard independence domain (different salt stream than split),
+    salt namespacing, and the zero-shuffle plan."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.sampling import (
+        split_assign,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long")
+    splits = {"train": 900_000, "val": 50_000, "test": 50_000}
+    out = split_assign(df, F.col("doc_id"), splits, shards=4)
+    rows = out.collect()
+    assert len(rows) == 2000
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+        assert 0 <= r.shard < 4
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == 2000  # partition
+    # fractions land near the widths (hash uniformity, wide tolerance)
+    assert len(by_split["train"]) > 1600
+    assert 0 < len(by_split.get("val", set())) < 300
+
+    # append-stability: the same keys through a DIFFERENT corpus get
+    # identical assignments — the leakage guarantee
+    sub = split_assign(
+        df.filter(F.col("doc_id") < 100), F.col("doc_id"), splits,
+        shards=4)
+    full = {(r.doc_id): (r.split, r.shard) for r in rows}
+    for r in sub.collect():
+        assert full[r.doc_id] == (r.split, r.shard)
+
+    # salt namespacing: a different salt draws a different eval set
+    other = split_assign(df, F.col("doc_id"), splits, salt="pipeline2")
+    v1 = {r.doc_id for r in rows if r.split == "val"}
+    v2 = {r.doc_id for r in other.collect() if r.split == "val"}
+    assert v1 != v2
+
+    # validation: widths must sum to modulus; empty/negative refused
+    with pytest.raises(ValueError, match="sum to modulus"):
+        split_assign(df, F.col("doc_id"), {"train": 1})
+    with pytest.raises(ValueError, match="at least one"):
+        split_assign(df, F.col("doc_id"), {})
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(df, F.col("doc_id"),
+                     {"a": 1_000_001, "b": -1})
+
+    # zero shuffle: assignment is pure column math
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_hyperplane_incremental_pairs_semantics(spark):
     """llm41's operator (r13): the embedding-family twin of
     lsh_incremental_pairs. Pins: inline build == prebuilt index ==
