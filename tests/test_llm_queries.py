@@ -970,6 +970,47 @@ def test_split_assign_semantics(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_split_assign_properties():
+    """Pure-math properties of the split boundary arithmetic
+    (hypothesis): for ANY width composition summing to the modulus,
+    the CASE chain partitions [0, modulus) exactly — every hash value
+    lands in exactly one split and each split receives exactly its
+    width. Runs the same cumulative-boundary logic the Column
+    expression encodes, so a boundary off-by-one (< vs <=) cannot
+    ship silently."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        widths=st.lists(st.integers(min_value=1, max_value=1000),
+                        min_size=1, max_size=6),
+    )
+    def props(widths):
+        modulus = sum(widths)
+        names = [f"s{i}" for i in range(len(widths))]
+        # reference: the cumulative-boundary assignment
+        bounds = []
+        acc = 0
+        for w in widths:
+            acc += w
+            bounds.append(acc)
+
+        def assign(h):
+            for name, b in zip(names, bounds):
+                if h < b:
+                    return name
+            return names[-1]
+
+        counts = {n: 0 for n in names}
+        for h in range(modulus):
+            counts[assign(h)] += 1
+        # exact partition: each split gets exactly its width
+        assert [counts[n] for n in names] == widths
+
+    props()
+
+
 def test_hyperplane_incremental_pairs_semantics(spark):
     """llm41's operator (r13): the embedding-family twin of
     lsh_incremental_pairs. Pins: inline build == prebuilt index ==
