@@ -872,6 +872,12 @@ def hyperplane_build_index(
     MIN non-empty width."""
     if bands < 1 or bits_per_band < 1:
         raise ValueError("bands and bits_per_band must be >= 1")
+    if bands * bits_per_band > 4096:
+        raise ValueError(
+            f"hyperplane sizing asks for {bands * bits_per_band} bits "
+            "— beyond ~4096 the parameters are fighting the data; "
+            "reduce dimensionality first (similarity."
+            "random_projection, llm34) or pass a coarser sizing")
     if dim is None:
         dim = _infer_embedding_dim(emb)
     if dim < 1:
@@ -921,7 +927,10 @@ def hyperplane_incremental_pairs(
     the corpus-wide cap since unmatched buckets contribute nothing;
     ``stats`` light reports probed-bucket drops); the exact-cosine
     verify joins embeddings left-semi-pruned to suspected ids, norms
-    precomputed per vector (the llm39 device)."""
+    precomputed per vector (the llm39 device). As with
+    :func:`lsh_incremental_pairs`, the no-``index`` form builds the
+    old index in-line and its lineage re-computes per consumer —
+    serve real traffic from a written (or persisted) index table."""
     if index is not None:
         if dim is None:
             raise ValueError(
@@ -1201,6 +1210,16 @@ def lsh_incremental_pairs(
     Contract: old and new doc_id spaces must be DISJOINT (the verify
     join distinguishes sides by id, the llm22 convention — new ids
     collide with old ids would cross-wire the shingle sets).
+
+    The no-``index`` form builds the old index IN-LINE as a
+    convenience — but an in-line index is a LINEAGE, and the probe
+    consumes it twice (matched join + membership counts), so the
+    corpus minhash pass re-computes per consumer. Serve real traffic
+    from a written table (``lsh_build_index(...).write...`` then
+    ``index=spark.read.parquet(...)``) or at least a persisted frame
+    — the gated llm40 measured 7.3 s in-line vs ~3 s through parquet
+    on a 5k-doc fixture; at corpus scale the gap is the whole
+    signature pass.
     """
     if index is not None:
         r_cols = sorted(
