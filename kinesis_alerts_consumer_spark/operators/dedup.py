@@ -586,6 +586,25 @@ def suggest_hyperplane_sizing(
     return b, r
 
 
+def _check_hyperplane_sizing(bands: int, bits_per_band: int) -> None:
+    """Shared expression-size envelope (was copy-pasted at three call
+    sites by the end of r13 — the _overcap_light lesson again):
+    beyond ~4096 total bits the parameters are fighting the data, not
+    indexing it, and the signs table / generated SQL grow unusable —
+    fail loudly with the JL remedy named."""
+    if bands < 1 or bits_per_band < 1:
+        raise ValueError("bands and bits_per_band must be >= 1")
+    n_bits = bands * bits_per_band
+    if n_bits > 4096:
+        raise ValueError(
+            f"hyperplane sizing asks for {n_bits} bits "
+            f"(bands={bands} * bits={bits_per_band}) — beyond ~4096 "
+            "the parameters are fighting the data, not indexing it. "
+            "Reduce dimensionality FIRST: compose with the JL sign "
+            "projection (similarity.random_projection, llm34), or "
+            "pass a coarser explicit sizing.")
+
+
 def _infer_embedding_dim(emb: DataFrame) -> int:
     """Corpus-wide MIN embedding width over NON-EMPTY rows (the pq
     _global_sub_len defense): consistent in both engines; callers
@@ -781,15 +800,7 @@ def hyperplane_lsh_pairs(
         dim = _infer_embedding_dim(emb)
     if dim < 1:
         raise ValueError(f"embedding dim must be >= 1, got {dim}")
-    n_bits = bands * bits_per_band
-    if n_bits > 4096:
-        raise ValueError(
-            f"hyperplane sizing asks for {n_bits} bits "
-            f"(bands={bands} * bits={bits_per_band}) — beyond ~4096 "
-            "the parameters are fighting the data, not indexing it. "
-            "Reduce dimensionality FIRST: compose with the JL sign "
-            "projection (similarity.random_projection, llm34), or "
-            "pass a coarser explicit (bands, bits_per_band).")
+    _check_hyperplane_sizing(bands, bits_per_band)
 
     banded = _hyperplane_banded(emb, bands, bits_per_band, dim, id_col)
     buckets = banded.groupBy("bucket").agg(
@@ -870,24 +881,23 @@ def hyperplane_build_index(
     requires it explicitly (the ``shingle`` contract of
     :func:`lsh_incremental_pairs`). ``dim=None`` infers the corpus
     MIN non-empty width."""
-    if bands < 1 or bits_per_band < 1:
-        raise ValueError("bands and bits_per_band must be >= 1")
-    if bands * bits_per_band > 4096:
-        raise ValueError(
-            f"hyperplane sizing asks for {bands * bits_per_band} bits "
-            "— beyond ~4096 the parameters are fighting the data; "
-            "reduce dimensionality first (similarity."
-            "random_projection, llm34) or pass a coarser sizing")
+    _check_hyperplane_sizing(bands, bits_per_band)
     if dim is None:
         dim = _infer_embedding_dim(emb)
     if dim < 1:
         raise ValueError(f"embedding dim must be >= 1, got {dim}")
     banded = _hyperplane_banded(emb, bands, bits_per_band, dim, id_col)
-    return banded.select(
+    out = banded.select(
         F.col(id_col),
         F.col("bucket.band").alias("band"),
         F.col("bucket.bits").alias("bits"),
     )
+    # seed the probe's geometry cache: the builder knows (bands,
+    # bits) statically, so an in-memory index= round-trip skips the
+    # max(band)/length(bits) aggregate entirely (r13 review); a
+    # parquet-written index is a NEW object and re-derives correctly
+    _INDEX_GEOM_CACHE[out] = (bands, bits_per_band)
+    return out
 
 
 def hyperplane_incremental_pairs(
@@ -972,18 +982,18 @@ def hyperplane_incremental_pairs(
         bands = 6 if bands is None else bands
         bits_per_band = 6 if bits_per_band is None else bits_per_band
         if dim is None:
-            dim = _infer_embedding_dim(emb_old)
+            # min over BOTH frames (r13 review): inferring from the
+            # old corpus alone would sign a narrower new vector over
+            # only its partial coordinates — different band bits, no
+            # shared bucket, the duplicate silently missed
+            dim = min(_infer_embedding_dim(emb_old),
+                      _infer_embedding_dim(emb_new))
         old_idx = hyperplane_build_index(
             emb_old, bands=bands, bits_per_band=bits_per_band,
             dim=dim, id_col=id_col)
     if dim < 1:
         raise ValueError(f"embedding dim must be >= 1, got {dim}")
-    if bands * bits_per_band > 4096:
-        raise ValueError(
-            f"hyperplane sizing asks for {bands * bits_per_band} bits "
-            "— beyond ~4096 the parameters are fighting the data; "
-            "reduce dimensionality first (similarity."
-            "random_projection, llm34) or pass a coarser sizing")
+    _check_hyperplane_sizing(bands, bits_per_band)
 
     keys = ["band", "bits"]
     new_idx = _hyperplane_banded(
@@ -1020,14 +1030,19 @@ def hyperplane_incremental_pairs(
 
     from .similarity import dot, norm
 
-    # broadcast the suspected-id sets (the lsh_incremental_pairs
-    # lesson: an AQE-planned semi join can shuffle the whole corpus's
-    # embeddings on vec_id; the id set is candidate-bounded)
+    # broadcast the suspected-id sets when the cap bounds them (the
+    # lsh_incremental_pairs lesson: an AQE-planned semi join can
+    # shuffle the whole corpus's embeddings on vec_id; with
+    # max_bucket=None the bound is gone and the hint would force an
+    # unbounded broadcast — leave that case to AQE, r13 review)
+    def _maybe_bcast(ids: DataFrame) -> DataFrame:
+        return F.broadcast(ids) if max_bucket is not None else ids
+
     old_needed = emb_old.join(
-        F.broadcast(cand.select(F.col("a").alias(id_col)).distinct()),
+        _maybe_bcast(cand.select(F.col("a").alias(id_col)).distinct()),
         id_col, "left_semi")
     new_needed = emb_new.join(
-        F.broadcast(cand.select(F.col("b").alias(id_col)).distinct()),
+        _maybe_bcast(cand.select(F.col("b").alias(id_col)).distinct()),
         id_col, "left_semi")
     vecs_a = old_needed.select(
         F.col(id_col).alias("a"),
@@ -1145,12 +1160,17 @@ def lsh_build_index(
         )
         for b in range(bands)
     ]
-    return sig.select(
+    out = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("_b")
     ).select(
         "doc_id", "_b.band",
         *[F.col(f"_b.r{r}") for r in range(rows_per_band)],
     )
+    # seed the probe's geometry cache (the hyperplane_build_index
+    # device): an in-memory index= round-trip skips the max(band)
+    # metadata aggregate; a parquet read is a new object, re-derived
+    _INDEX_GEOM_CACHE[out] = (bands, rows_per_band)
+    return out
 
 
 def lsh_incremental_pairs(
@@ -1305,16 +1325,22 @@ def lsh_incremental_pairs(
     )
 
     # verify on text pruned to the SUSPECTED ids only. The id sets
-    # are explicitly BROADCAST: left to AQE the semi join can plan as
-    # a sort-merge and shuffle the WHOLE corpus text on doc_id (the
-    # r13 plan audit caught exactly that after the checkpoint change
-    # shifted the runtime stats) — the id set is bounded by the
-    # capped candidate volume, the corpus is not.
+    # are explicitly BROADCAST when the cap is on: left to AQE the
+    # semi join can plan as a sort-merge and shuffle the WHOLE corpus
+    # text on doc_id (the r13 plan audit caught exactly that after
+    # the checkpoint change shifted the runtime stats) — the id set
+    # is bounded by the capped candidate volume, the corpus is not.
+    # With max_bucket=None the bound is gone (one hot bucket can make
+    # cand O(corpus)), so the hint would force an unbounded broadcast
+    # build — leave the uncapped case to AQE (r13 review).
+    def _maybe_bcast(ids: DataFrame) -> DataFrame:
+        return F.broadcast(ids) if max_bucket is not None else ids
+
     old_needed = docs_old.join(
-        F.broadcast(cand.select(F.col("a").alias("doc_id")).distinct()),
+        _maybe_bcast(cand.select(F.col("a").alias("doc_id")).distinct()),
         "doc_id", "left_semi")
     new_needed = docs_new.join(
-        F.broadcast(cand.select(F.col("b").alias("doc_id")).distinct()),
+        _maybe_bcast(cand.select(F.col("b").alias("doc_id")).distinct()),
         "doc_id", "left_semi")
     verify_docs = old_needed.select("doc_id", "text").unionByName(
         new_needed.select("doc_id", "text"))

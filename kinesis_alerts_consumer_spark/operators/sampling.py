@@ -82,6 +82,13 @@ def split_assign(
     'train' would make every shard a biased slice of the key space.
     ``salt`` namespaces the whole assignment: two pipelines splitting
     the same corpus with different salts draw independent eval sets.
+
+    NULL keys get NULL ``split`` (and NULL ``shard``) — quarantine
+    them upstream. They are never silently routed into a range: the
+    hash of a NULL key is NULL, so a CASE fallthrough would have
+    assigned every NULL row to the LAST-named split deterministically
+    — in a train/val/test layout, straight into an eval set (r13
+    review).
     """
     widths = list(splits.items())
     if not widths:
@@ -102,7 +109,8 @@ def split_assign(
         cond = h < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = widths[-1][0]
-    split_col = F.lit(last) if expr is None else expr.otherwise(last)
+    tail = F.when(key.isNotNull(), F.lit(last))  # NULL key -> NULL split
+    split_col = tail if expr is None else expr.otherwise(tail)
     out = df.withColumn("split", split_col)
     if shards:
         if shards < 0:

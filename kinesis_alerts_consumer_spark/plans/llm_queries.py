@@ -1656,13 +1656,8 @@ def _hyperplane_incremental_sql() -> str:
     return f"""
 WITH old_side AS (SELECT vec_id, embedding FROM embeddings),
 new_side AS (
-  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-  WHERE vec_id < 30
-  UNION ALL
-  SELECT vec_id + 2000000 AS vec_id,
-         list_prepend(CAST(embedding[1] + 0.5 AS FLOAT), embedding[2:])
-           AS embedding
-  FROM embeddings WHERE vec_id < 30),
+  SELECT vec_id, embedding FROM ({_SEMDEDUP_BASE_DUCK})
+  WHERE vec_id >= 1000000),
 hp({hp_cols}) AS (VALUES {hp_rows}),
 ex_o AS (SELECT vec_id, i.i - 1 AS pos,
               CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000)

@@ -231,20 +231,28 @@ def main() -> None:
             suggest_hyperplane_sizing,
         )
 
+        # slice BOTH sides from the shared parquet (r13 review: the
+        # pre-write base/mutants frames are synthesis LINEAGES — the
+        # build and every verify consumer would re-run the xxhash
+        # coordinate expressions instead of scanning the same bytes
+        # as arms A-D, and the walls would measure synthesis, not
+        # the serving shape)
+        old_emb = emb.filter(F.col("vec_id") < MUTANT_OFFSET)
+        new_emb = emb.filter(F.col("vec_id") >= MUTANT_OFFSET)
         ib, ir = suggest_hyperplane_sizing(hll_buffered_count(n))
         idx_path = SCRATCH + "_hpindex"
         if os.path.exists(idx_path):
             shutil.rmtree(idx_path)
         t0 = time.monotonic()
         hyperplane_build_index(
-            base, bands=ib, bits_per_band=ir, dim=dim
+            old_emb, bands=ib, bits_per_band=ir, dim=dim
         ).write.partitionBy("band").parquet(idx_path)
         t_build = time.monotonic() - t0
         idx = spark.read.parquet(idx_path)
         istats: dict = {}
         t0 = time.monotonic()
         ip = hyperplane_incremental_pairs(
-            mutants, base, dim=dim, threshold=0.9, index=idx,
+            new_emb, old_emb, dim=dim, threshold=0.9, index=idx,
             stats=istats)
         got_pairs = {(r.a, r.b) for r in ip.collect()}
         t_probe = time.monotonic() - t0

@@ -969,6 +969,39 @@ def test_split_assign_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
 
+    # pin the REAL Column expression against an independent Python
+    # md5 mirror (r13 review: a mirror-only property test could not
+    # catch a < vs <= regression in the shipped expression) — exact
+    # per-row equality on all 2000 keys, split AND shard
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    bounds = []
+    acc = 0
+    for name, w in splits.items():
+        acc += w
+        bounds.append((name, acc))
+
+    def expect(doc_id: int) -> tuple:
+        h = h60(f"split:{doc_id}") % 1_000_000
+        split = next(n for n, b in bounds if h < b)
+        shard = h60(f"split#shard:{doc_id}") % 4
+        return split, shard
+
+    for r in rows:
+        assert (r.split, r.shard) == expect(r.doc_id), r.doc_id
+
+    # NULL keys: NULL split and shard, never routed into a range
+    # (the CASE fallthrough would have put them ALL in 'test')
+    nulled = split_assign(
+        spark.createDataFrame([(None,), (7,)], "doc_id long"),
+        F.col("doc_id"), splits, shards=4).collect()
+    by_id = {r.doc_id: (r.split, r.shard) for r in nulled}
+    assert by_id[None] == (None, None)
+    assert by_id[7] == expect(7)
+
 
 def test_split_assign_properties():
     """Pure-math properties of the split boundary arithmetic
