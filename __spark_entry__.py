@@ -33,44 +33,91 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_declared(spark, "/root/testdata/sf0.001", "dq02_join_agg")
 
 
-# Round-13 window: an EXPLICIT 48-name set (enumerated, not derived —
+# Round-14 window: an EXPLICIT 48-name set (enumerated, not derived —
 # the scheme the r5/r6 verdicts settled on).
 #
 # Composition, per the rotation invariant (every oracle-backed query
-# green within the trailing TWO rounds) and the r12 verdict's item 1:
-# the 48 keys whose last green driver row is r11 — exactly the r11
-# window (dq03-dq31, kv06, kv07, llm14, llm24, llm26-32, llm34,
-# llm37, st03, st06-08, vol01, vol04) — EXCEPT that
-# dq05_regex_extract (seven-rounds-stable) is displaced to seat
-# llm39_hyperplane_near_dup, the only oracle-backed key (1 of 97)
-# never driver-verified (debuted r12 outside the window). dq05 rides
-# the accepted substitute protocol: property/oracle pytest + an
+# green within the trailing TWO rounds) and the r13 verdict's item 1
+# (executing the r13-pre-written plan verbatim): the 48 keys whose
+# last green driver row is r12 — exactly the r12 window (dq01/02,
+# ext01-04, ext07, kv01-05, llm01-13, llm15-23, llm25, llm33, llm35,
+# llm36, llm38, mm01-03, st01/02/04/05, vol02/03) — EXCEPT that the
+# FIVE keys without a trailing-two-round driver row take priority
+# seats: dq05_regex_extract (last green r11, displaced in r13 to
+# seat llm39) and the four r13 debutantes llm40_incremental_near_dup,
+# llm41_hyperplane_incremental, llm42_split_assign,
+# st09_stream_incremental_dedup (never driver-verified; each
+# oracle-twinned at sf0.001/0.01/0.1 + the r13 full-surface
+# verifies + the r13 judge's own cold emulation). The five displaced
+# keys are the verdict's suggested stablest five — dq01_filter_project,
+# dq02_join_agg, ext03_pivot, mm03_resize_plan, llm16_hash_sample
+# (all green since r1-r5 with trivial plans) — each riding the
+# accepted substitute protocol: property/oracle pytest + an
 # in-session full-surface oracle verify at sf0.01 cited in the
-# rotation commit (the r7 parse precedent). With 97 oracle-backed
-# keys and 2x48=96 window slots, exactly one key per cycle must ride
-# the substitute protocol — rotate WHICH key it is each cycle.
+# rotation commit (the r7 parse precedent). With 101 oracle-backed
+# keys and 2x48=96 window slots, five keys per cycle ride the
+# substitute protocol — rotate WHICH five each cycle
+# (tests/test_entry_contract.py pins the rider set structurally).
 #
-# ROUND-14 PLAN (write _R14_WINDOW from this at the start of r14):
-# the 48 keys last green in r12 are exactly the 48-key r12 window
-# (dq01/02, ext01-04, ext07, kv01-05, llm01-13, llm15-23, llm25,
-# llm33, llm35, llm36, llm38, mm01-03, st01/02/04/05, vol02/03).
-# FIVE keys now lack a recent/any driver row and take priority
-# seats: dq05 (last green r11, displaced in r13) and the r13
-# debutantes llm40_incremental_near_dup, llm41_hyperplane_incremental,
-# llm42_split_assign, st09_stream_incremental_dedup (never
-# driver-verified; each oracle-twinned at sf0.001/0.01/0.1 + the
-# r13 full-surface verifies). Displace the FIVE stablest r12-window
-# keys for them (suggest dq01_filter_project, dq02_join_agg,
-# ext03_pivot, mm03_resize_plan, llm16_hash_sample — all green since
-# r1-r5 with trivial plans) and cover each displaced key via the
-# substitute protocol (in-session full-surface verify cited in the
-# rotation commit). With 101 oracle-backed keys and 2x48=96 slots,
-# five keys per cycle ride the substitute protocol from here on —
-# rotate WHICH five each round. Keep ext06 then ext05 pinned at
-# positions 49-50.
+# ROUND-15 PLAN (write _R15_WINDOW from this at the start of r15):
+# the keys needing seats are the 48 r13-window keys (last green r13,
+# two rounds stale by r15: dq03/04, dq06-dq31, kv06/07, llm14, llm24,
+# llm26-32, llm34, llm37, llm39, st03, st06-08, vol01, vol04) PLUS
+# the five r14 riders (dq01, dq02, ext03, mm03, llm16 — last driver
+# row r12, outside the trailing window by r15) = 53 candidates for
+# 48 seats. Give the five r14 riders priority (a key must not ride
+# the substitute protocol two cycles running) and displace five
+# stable r13-window keys (suggest dq03_window_topk, dq04_rollup,
+# dq06_tumbling_agg, dq07_intersect, dq08_semi_join — trivial
+# declared-SQL plans, green every round since r1), covering each via
+# the substitute protocol as here. Any query debuting in r14 rides
+# outside the window with three-SF oracle twins until r15+.
+_R14_WINDOW = frozenset(
+    # priority seats: the five keys without a trailing-two-round row
+    ["dq05_regex_extract", "llm40_incremental_near_dup",
+     "llm41_hyperplane_incremental", "llm42_split_assign",
+     "st09_stream_incremental_dedup"]
+    # dq01/dq02 intentionally absent: displaced (riders)
+    + ["ext01_asof_join", "ext02_range_join",
+       # ext03_pivot intentionally absent: displaced (rider)
+       "ext04_percentiles", "ext07_bucketed_join"]
+    + ["kv01_route_project", "kv02_mongo_rule", "kv03_process_metrics",
+       "kv04_disposition", "kv05_config_rules"]
+    + ["llm01_dedup_exact", "llm02_minhash_signatures",
+       "llm03_near_dup_minhash_lsh", "llm04_simhash",
+       "llm05_embedding_near_dup", "llm06_ann_cosine_topk",
+       "llm07_ann_cosine_topk_lsh", "llm08_token_stats",
+       "llm09_quality_scores", "llm10_language_id",
+       "llm11_fingerprints", "llm12_corpus_profile",
+       "llm13_ann_cosine_topk_ivf", "llm15_dedup_clusters",
+       # llm16_hash_sample intentionally absent: displaced (rider)
+       "llm17_sequence_packing", "llm18_pii_redaction",
+       "llm19_doc_chunking", "llm20_tfidf_vocab",
+       "llm21_contamination", "llm22_cross_snapshot_dedup",
+       "llm23_ngram_repetition", "llm25_mixture_plan",
+       "llm33_token_commonness", "llm35_distinct_md5_counts",
+       "llm36_shingle_containment", "llm38_bloom_snapshot_dedup"]
+    + ["mm01_media_features", "mm02_frame_plan"]
+    # mm03_resize_plan intentionally absent: displaced (rider)
+    + ["st01_stream_hourly_rollup", "st02_stream_sessions",
+       "st04_stream_dedup", "st05_stream_kayvee_pipeline"]
+    + ["vol02_log_route_volume", "vol03_hot_key_rollup"]
+)
+
+# The five oracle-backed keys riding the substitute protocol this
+# cycle (absent from BOTH the r13 and r14 windows): covered by their
+# pytest oracle twins plus the in-session full-surface sf0.01 verify
+# cited in the r14 rotation commit. tests/test_entry_contract.py
+# asserts this set is exactly the keys the trailing two windows miss.
+_R14_RIDERS = frozenset(
+    ["dq01_filter_project", "dq02_join_agg", "ext03_pivot",
+     "mm03_resize_plan", "llm16_hash_sample"]
+)
+
+# r13 window kept for the structural rider-set assertion (VERDICT r13
+# item 6): riders == oracle-backed − (_R13_WINDOW | _R14_WINDOW).
 _R13_WINDOW = frozenset(
     ["dq03_window_topk", "dq04_rollup"]
-    # dq05_regex_extract intentionally absent: displaced for llm39
     + ["dq06_tumbling_agg", "dq07_intersect", "dq08_semi_join",
        "dq09_sessionization", "dq10_exact_dedup_counts",
        "dq11_anti_join", "dq12_global_topk", "dq13_union_except",
@@ -98,15 +145,16 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     """(name, fn, oracle_sql|None) in driver-priority insertion order.
 
     The driver's correctness snapshot records EXACTLY the first 50 keys
-    of insertion order (cap confirmed over r01-r05). Round-13 window =
-    the explicit ``_R13_WINDOW`` set (composition documented at its
-    definition — the 48 keys whose last green driver row is r11, with
-    dq05 displaced to seat llm39 per VERDICT r12 item 1). ext06 then
-    ext05 sit at positions 49-50: no-oracle rows-only entries last
-    inside the window so nothing oracle-backed is lost if the driver
-    halts at the first no-oracle entry. Everything green in r12 sits
-    outside. tests/test_entry_contract.py pins the layout and fails
-    loudly if the composition drifts past 48.
+    of insertion order (cap confirmed over r01-r05). Round-14 window =
+    the explicit ``_R14_WINDOW`` set (composition documented at its
+    definition — the 48 keys whose last green driver row is r12, with
+    the five trailing-two-round-missing keys seated per VERDICT r13
+    item 1 and the five displaced riders in ``_R14_RIDERS``). ext06
+    then ext05 sit at positions 49-50: no-oracle rows-only entries
+    last inside the window so nothing oracle-backed is lost if the
+    driver halts at the first no-oracle entry. Everything green in r13
+    sits outside. tests/test_entry_contract.py pins the layout and
+    fails loudly if the composition drifts past 48.
     """
     oracle_backed: dict[str, tuple[Callable, str]] = {}
     no_oracle: list[tuple[str, Callable, None]] = []
@@ -123,15 +171,15 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
             oracle_sql_for(name),
         )
 
-    missing = _R13_WINDOW - set(oracle_backed)
+    missing = _R14_WINDOW - set(oracle_backed)
     if missing:
         raise RuntimeError(f"window names not registered: {sorted(missing)}")
-    window = sorted(n for n in oracle_backed if n in _R13_WINDOW)
-    rest = sorted(n for n in oracle_backed if n not in _R13_WINDOW)
+    window = sorted(n for n in oracle_backed if n in _R14_WINDOW)
+    rest = sorted(n for n in oracle_backed if n not in _R14_WINDOW)
     if len(window) != 48:
         raise RuntimeError(
             f"driver window holds {len(window)} oracle-backed keys, "
-            "want 48 — adjust _R13_WINDOW so the no-oracle entries "
+            "want 48 — adjust _R14_WINDOW so the no-oracle entries "
             "stay at positions 49-50"
         )
     entries = [(n, *oracle_backed[n]) for n in window]

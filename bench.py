@@ -80,7 +80,8 @@ def run_suite(names, run_query, unload_state_stores,
 
 
 def build_bench_line(timings: dict[str, float], sf: str,
-                     degraded: tuple[str, ...] = ()) -> str:
+                     degraded: tuple[str, ...] = (),
+                     warmup_failures: tuple[str, ...] = ()) -> str:
     """The canonical stdout JSON line. The driver records only the
     LAST ~2000 chars of stdout and json-parses the final line; full
     query names blow that budget (BENCH_r01..r03 all show
@@ -93,7 +94,16 @@ def build_bench_line(timings: dict[str, float], sf: str,
     the run (e.g. ``state_unload``): they make the artifact carry its
     own health so a silently weakened protocol (st timings quietly
     residue-inflated again) is visible in BENCH_r{N}.json, not just on
-    a stderr stream the driver throws away."""
+    a stderr stream the driver throws away.
+
+    ``warmup_failures`` names queries whose WARM-UP run threw (short
+    keys, like ``queries``): their timed number ran cold — one-time
+    compile costs included — so the artifact must say so. BENCH_r13's
+    tail carried an anonymous py4j stack from exactly this path
+    (VERDICT r13 item 2): the stderr message embedded the full Java
+    stack, scrolling the query name out of the driver's ~2000-char
+    tail buffer, and nothing in the JSON line recorded that a warm-up
+    had failed at all."""
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     # Driver-contract guards: real raises, not asserts — python -O
     # strips asserts and an over-long/key-colliding line would reach
@@ -117,13 +127,31 @@ def build_bench_line(timings: dict[str, float], sf: str,
     }
     if degraded:
         payload["degraded"] = sorted(set(degraded))
-    line = json.dumps(
-        payload,
-        # compact separators: at 96 queries the default ", "/": "
-        # padding alone (~200 chars) would push the worst-case line
-        # past the driver's ~2000-char stdout tail buffer
-        separators=(",", ":"),
-    )
+    wf_full = sorted({name.split("_", 1)[0] for name in warmup_failures})
+    # compact separators: at 96+ queries the default ", "/": " padding
+    # alone (~200 chars) would push the worst-case line past the
+    # driver's ~2000-char stdout tail buffer
+    compact = {"separators": (",", ":")}
+    # warmup_failures is the one unbounded optional field (103 short
+    # keys alone are ~800 chars): shrink it until the line fits,
+    # keeping an overflow marker with the true count — a run where
+    # warm-ups fail en masse is catastrophically unhealthy and the
+    # count says so; the leading names still identify the victims.
+    for keep in range(min(12, len(wf_full)), -1, -1):
+        if wf_full:
+            wf = wf_full[:keep]
+            if keep < len(wf_full):
+                wf.append(f"+{len(wf_full) - keep}more")
+            payload["warmup_failures"] = wf
+        line = json.dumps(payload, **compact)
+        if len(line) < 1900:
+            break
+    if len(line) >= 1900 and wf_full:
+        # last resort (every warm-up failed AND every timing is
+        # 5-digit): a bare count — the health signal survives even
+        # when no name fits
+        payload["warmup_failures"] = len(wf_full)
+        line = json.dumps(payload, **compact)
     if len(line) >= 1900:
         raise RuntimeError(f"bench JSON line too long ({len(line)})")
     return line
@@ -205,16 +233,27 @@ def main() -> None:
                 degraded.append("state_unload")
             print(f"state-store unload skipped: {exc}", file=sys.stderr)
 
+    warmup_failures: list[str] = []
+
+    def on_warmup_error(name: str, exc: Exception) -> None:
+        # ONE line: name + exception class + first message line. A py4j
+        # exception stringifies with its full Java stack; printed raw it
+        # scrolled the query name out of the driver's ~2000-char tail
+        # buffer (BENCH_r13's anonymous trace — VERDICT r13 item 2).
+        first = str(exc).splitlines()[0][:200] if str(exc) else ""
+        print(f"warmup {name} failed: {type(exc).__name__}: {first}",
+              file=sys.stderr)
+        warmup_failures.append(name)
+
     timings = run_suite(
         qs,
         run_query=lambda name: qs[name](spark, sf_dir).collect(),
         unload_state_stores=unload_state_stores,
-        on_warmup_error=lambda name, exc: print(
-            f"warmup {name} failed: {exc}", file=sys.stderr
-        ),
+        on_warmup_error=on_warmup_error,
     )
 
-    line = build_bench_line(timings, sf, degraded=tuple(degraded))
+    line = build_bench_line(timings, sf, degraded=tuple(degraded),
+                            warmup_failures=tuple(warmup_failures))
     # full-name detail for humans; stdout line is the driver contract
     detail = {**json.loads(line), "queries": timings}
     try:

@@ -33,37 +33,69 @@ def test_query_count_and_oracle_coverage():
 def test_driver_window_priority():
     names = list(entry.queries())
     window = set(names[:50])
-    # round-13 rotation: the window IS the explicit _R13_WINDOW set —
-    # the 48 keys whose last green driver row is r11 (the r12 verdict's
-    # mandatory rotation list; the full r11 window) with ONE swap per
-    # VERDICT r12 item 1: dq05 (seven-rounds-stable) out, llm39 (the
-    # only never-driver-verified oracle-backed key) in.
-    assert entry._R13_WINDOW <= window, sorted(entry._R13_WINDOW - window)
-    assert len(entry._R13_WINDOW) == 48
-    # the 48 mandatory last-green-in-r11 keys individually (family
-    # spot-pins; the full list is the _R13_WINDOW literal itself)
-    for must in (["dq03", "dq04"]
-                 + ["dq%02d_" % i for i in range(6, 32)]
-                 + ["kv06", "kv07", "llm14", "llm24"]
-                 + ["llm%02d_" % i for i in range(26, 33)]
-                 + ["llm34", "llm37", "llm39"]
-                 + ["st03", "st06", "st07", "st08", "vol01", "vol04"]):
+    # round-14 rotation: the window IS the explicit _R14_WINDOW set —
+    # the 48 keys whose last green driver row is r12 (the full r12
+    # window), with FIVE swaps per VERDICT r13 item 1: the five keys
+    # without a trailing-two-round driver row seated (dq05 + the four
+    # r13 debutantes llm40/llm41/llm42/st09), the five stablest
+    # r12-window keys displaced as riders.
+    assert entry._R14_WINDOW <= window, sorted(entry._R14_WINDOW - window)
+    assert len(entry._R14_WINDOW) == 48
+    # the five priority seats individually — the whole point of r14
+    for must in ("dq05_regex_extract", "llm40_incremental_near_dup",
+                 "llm41_hyperplane_incremental", "llm42_split_assign",
+                 "st09_stream_incremental_dedup"):
+        assert must in window, f"{must} must hold a priority r14 seat"
+    # the remaining last-green-in-r12 keys (family spot-pins; the full
+    # list is the _R14_WINDOW literal itself)
+    for must in (["ext01", "ext02", "ext04", "ext07"]
+                 + ["kv%02d_" % i for i in range(1, 6)]
+                 + ["llm%02d_" % i for i in range(1, 14)]
+                 + ["llm15", "llm17", "llm18", "llm19", "llm20",
+                    "llm21", "llm22", "llm23"]
+                 + ["llm25", "llm33", "llm35", "llm36", "llm38"]
+                 + ["mm01", "mm02"]
+                 + ["st01", "st02", "st04", "st05", "vol02", "vol03"]):
         hit = [n for n in window if n.startswith(must)]
-        assert hit, f"{must} must be inside the r13 window"
-    # everything green in r12 — plus displaced dq05 — must NOT consume
-    # window slots (spot-pin the families)
-    for out in (["dq01", "dq02", "dq05"]
-                + ["ext01", "ext02", "ext03", "ext04", "ext07"]
-                + ["kv%02d_" % i for i in range(1, 6)]
-                + ["llm%02d_" % i for i in range(1, 14)]
-                + ["llm%02d_" % i for i in range(15, 24)]
-                + ["llm25", "llm33", "llm35", "llm36", "llm38"]
-                + ["mm01", "mm02", "mm03"]
-                + ["st01", "st02", "st04", "st05", "vol02", "vol03"]):
+        assert hit, f"{must} must be inside the r14 window"
+    # everything green in r13 — plus the five displaced riders — must
+    # NOT consume window slots (spot-pin the families)
+    for out in (["dq01", "dq02", "dq03", "dq04"]
+                + ["dq%02d_" % i for i in range(6, 32)]
+                + ["ext03", "kv06", "kv07", "llm14", "llm16", "llm24"]
+                + ["llm%02d_" % i for i in range(26, 33)]
+                + ["llm34", "llm37", "llm39", "mm03"]
+                + ["st03", "st06", "st07", "st08", "vol01", "vol04"]):
         hit = [n for n in window if n.startswith(out)]
         assert not hit, f"{out} should be outside the window: {hit}"
     # no-oracle entries last inside the window, fewest-rows ext06 first
     assert names[48:50] == ["ext06_approx_quantiles", "ext05_approx_distinct"]
+
+
+def test_substitute_rider_set_is_exactly_the_documented_list():
+    """VERDICT r13 item 6: with 101 oracle-backed keys and 96 trailing
+    two-window slots, five keys per cycle ride the substitute protocol.
+    Pin it structurally: the keys absent from BOTH trailing windows
+    must be exactly the documented ``_R14_RIDERS`` list — so a key
+    cannot silently go three rounds without either a driver row or a
+    recorded substitute verify. Updating a window without updating the
+    rider list (or vice versa) fails here loudly."""
+    oracle_backed = set(entry.oracle_sql())
+    riders = oracle_backed - (entry._R13_WINDOW | entry._R14_WINDOW)
+    assert riders == entry._R14_RIDERS, (
+        sorted(riders ^ entry._R14_RIDERS))
+    # the windows themselves must be disjoint (each key's seat counts
+    # once) and every rider must be oracle-backed (the no-oracle
+    # ext05/ext06 entries are pinned at 49-50, not riders)
+    assert not entry._R13_WINDOW & entry._R14_WINDOW
+    assert entry._R14_RIDERS <= oracle_backed
+    # each rider is covered by the substitute protocol: the in-session
+    # full-surface verify cited in the r14 rotation commit ran all 101
+    # oracle-backed keys at sf0.01 via scripts/driver_emulation.py;
+    # riders additionally carry pytest oracle twins in their family
+    # test modules (dq01/dq02 test_declared_queries, ext03
+    # test_extended_queries, mm03 test_multimodal, llm16
+    # test_llm_queries).
 
 
 def test_bench_family_isolation_order():
@@ -132,11 +164,45 @@ def test_bench_line_fits_driver_tail_buffer():
     parsed = json.loads(line)
     assert len(line) < 1900
     assert parsed["unit"] == "sec" and len(parsed["queries"]) == len(names)
-    # the TRUE worst case includes the degraded key (ADVICE r8): the
-    # full surface plus every protocol-failure marker must still fit
+    # the TRUE worst case includes the degraded key (ADVICE r8) AND a
+    # warmup_failures list (VERDICT r13 item 2 — every query failing
+    # warm-up at once): the full surface plus every protocol-failure
+    # marker must still fit the driver's tail buffer
     worst = build_bench_line(
         {n: 12345.6789 for n in names}, "0.1",
         degraded=("state_unload",),
+        warmup_failures=tuple(names),
     )
+    parsed_worst = json.loads(worst)
     assert len(worst) < 1900
-    assert json.loads(worst)["degraded"] == ["state_unload"]
+    assert parsed_worst["degraded"] == ["state_unload"]
+    # in the doubly-pathological case (every timing 5-digit AND every
+    # warm-up failed) the field degrades to a bare count — the health
+    # signal survives even when no name fits
+    all_short = sorted({n.split("_", 1)[0] for n in names})
+    wf = parsed_worst["warmup_failures"]
+    if isinstance(wf, int):
+        assert wf == len(all_short)
+    else:
+        kept, marker = wf[:-1], wf[-1]
+        assert kept == all_short[:len(kept)]
+        assert marker == f"+{len(all_short) - len(kept)}more"
+    # with realistic timing magnitudes the same all-fail case keeps
+    # the leading names + an overflow marker
+    realistic = json.loads(build_bench_line(
+        {n: 1.0 for n in names}, "0.1", warmup_failures=tuple(names),
+    ))
+    wf = realistic["warmup_failures"]
+    assert wf[:-1] == all_short[:12]
+    assert wf[-1] == f"+{len(all_short) - 12}more"
+    # a small failure set is carried verbatim
+    few = json.loads(build_bench_line(
+        {n: 1.0 for n in names}, "0.1",
+        warmup_failures=("st09_stream_incremental_dedup",
+                         "llm40_incremental_near_dup"),
+    ))
+    assert few["warmup_failures"] == ["llm40", "st09"]
+    # a clean run carries NO warmup_failures key (absence == health,
+    # same contract as degraded)
+    clean = json.loads(build_bench_line({n: 1.0 for n in names}, "0.1"))
+    assert "warmup_failures" not in clean and "degraded" not in clean
