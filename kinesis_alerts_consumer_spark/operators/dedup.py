@@ -326,11 +326,22 @@ def hll_buffered_count(n_estimate: int, rsd: float = 0.05) -> int:
         raise ValueError(f"n_estimate must be >= 0, got {n_estimate}")
     if not 0.0 < rsd < 0.5:
         raise ValueError(f"rsd must be in (0, 0.5), got {rsd}")
-    import math
+    from fractions import Fraction
 
-    # round before ceil: binary-float division noise (a result like
-    # 110.00000000000001) must not inflate the buffer by one
-    return max(1, math.ceil(round(n_estimate / (1.0 - 2.0 * rsd), 9)))
+    # Exact integer arithmetic (ADVICE r13): the earlier float form
+    # ceil(round(n/(1-2·rsd), 9)) could cancel a LEGITIMATE ceil
+    # whenever the exact quotient sits within 5e-10 above an integer,
+    # under-buffering by 1 for arbitrary rsd values. Express
+    # (1 - 2·rsd) as an exact rational and take ceil(n·den/num) with
+    # integer division — no float noise, no round() band-aid.
+    # DECIMAL semantics for rsd: Fraction(str(rsd)) reads the float's
+    # shortest round-trip repr, so rsd=0.05 means exactly 1/20 (the
+    # documented Spark default), not the binary 0.05000…0277 — the
+    # caller wrote a decimal and the clean quotient boundaries
+    # (9/0.9 == 10 exactly) behave as written. The two readings
+    # differ by < 3e-18 relative, far inside the 2σ model's own slack.
+    ratio = 1 - 2 * Fraction(str(rsd))
+    return max(1, -((-n_estimate * ratio.denominator) // ratio.numerator))
 
 
 def suggest_lsh_sizing(

@@ -797,9 +797,10 @@ STREAMING_QUERIES: dict[str, tuple] = {
         q_stream_dedup_within_watermark,
         SQL_STREAM_DEDUP_WM,
     ),
-    # st09 debuts in r13 (outside the r13 window per the rotation
-    # plan; oracle-twinned in pytest + the in-session full-surface
-    # verify until its first driver row in r14+)
+    # st09 debuted r13 outside the window; seated in the r14 driver
+    # window. Pytest oracle twin: test_st05_st06_st09_oracle_twin_smoke
+    # (added per ADVICE r13 — the claim was previously covered only by
+    # the in-session full-surface verifies)
     "st09_stream_incremental_dedup": (
         q_stream_incremental_dedup,
         SQL_STREAM_INCREMENTAL_DEDUP,

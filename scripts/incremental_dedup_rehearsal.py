@@ -99,9 +99,13 @@ def main() -> None:
     # existing scratch — that is the whole point of re-measuring the
     # recurring arms against a standing index (r13 review: the first
     # cut wiped SCRATCH unconditionally, so any arms subset with P
-    # but not B crashed on the missing index). Reuse assumes the
-    # SAME (N, M, K) as the run that wrote the scratch — the
-    # synthesis is deterministic in those args.
+    # but not B crashed on the missing index). Reuse requires the
+    # SAME (N, M, K) as the run that wrote the scratch: seeds and
+    # planted pairs are derived from the CURRENT argv, so a mismatch
+    # would silently report recall against the wrong planted set
+    # (ADVICE r13) — the args marker below turns that into a refusal.
+    marker = f"{SCRATCH}/args_marker.txt"
+    stamp = f"{n_old} {m_new} {k_mut}"
     if "B" in arms or not os.path.exists(f"{SCRATCH}/old"):
         if os.path.exists(SCRATCH):
             shutil.rmtree(SCRATCH)
@@ -122,6 +126,20 @@ def main() -> None:
         )
         fresh = _docs(spark, "f:", n_old + 1_000_000, m_new - k_mut)
         mutants.unionByName(fresh).write.parquet(f"{SCRATCH}/new")
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    else:
+        # P/F-only run: refuse unless the standing scratch was written
+        # by these exact (N, M, K) — recall would otherwise be scored
+        # against a planted set the scratch does not contain
+        written = open(marker).read().strip() \
+            if os.path.exists(marker) else "<missing>"
+        if written != stamp:
+            raise SystemExit(
+                f"standing scratch at {SCRATCH} was synthesized with "
+                f"(n_old m_new k_mut)=({written}) but this run asks "
+                f"({stamp}) — re-run with arm B to rebuild, or pass "
+                "the original args")
     if "P" in arms and "B" not in arms \
             and not os.path.exists(f"{SCRATCH}/index"):
         raise SystemExit(

@@ -686,6 +686,44 @@ def test_hll_buffer_protects_sizing_from_2sigma_low_estimates():
 
     props()
 
+    # Exact-arithmetic pin (ADVICE r13): for ARBITRARY rsd the result
+    # must equal the true ceil of the exact rational quotient under
+    # the function's decimal reading of rsd — the old float form
+    # (ceil of a 9-decimal round) could cancel a legitimate ceil
+    # whenever the quotient sat within 5e-10 above an integer,
+    # under-buffering by 1.
+    from fractions import Fraction
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**15),
+        rsd=st.floats(min_value=1e-9, max_value=0.499,
+                      exclude_min=False, allow_nan=False),
+    )
+    def exact_ceil(n, rsd):
+        ratio = 1 - 2 * Fraction(str(rsd))
+        want = max(1, -((-n * ratio.denominator) // ratio.numerator))
+        assert hll_buffered_count(n, rsd=rsd) == want
+        # and the coverage property itself at this rsd: a 2σ-low
+        # estimate, buffered, dominates the true n
+        if n > 0:
+            est_low = max(1, math.ceil(n * (1.0 - 2.0 * rsd)))
+            assert hll_buffered_count(est_low, rsd=rsd) >= n
+
+    exact_ceil()
+
+    # the documented hazard class, deterministically: a quotient
+    # exactly on a decimal-clean integer boundary must NOT ceil up
+    # (decimal semantics: rsd=0.05 IS 1/20), one count above must
+    assert hll_buffered_count(9, rsd=0.05) == 10   # 9/0.9 == 10 exact
+    assert hll_buffered_count(10, rsd=0.05) == 12  # 10/0.9 = 11.11…
+    # an adversarial tiny rsd (1e-10): quotients sit within float
+    # noise of integers — exact arithmetic must distinguish the
+    # on-boundary case (no ceil) from one count above (ceil by 2,
+    # since the exact quotient is k + 1.0000000002)
+    assert hll_buffered_count(10**10 - 2, rsd=1e-10) == 10**10
+    assert hll_buffered_count(10**10 - 1, rsd=1e-10) == 10**10 + 2
+
 
 def test_hyperplane_dim_inference_skips_empty_and_null(spark):
     """ADVICE r12: with dim=None the inferred width must come from

@@ -756,21 +756,27 @@ def test_checkpoint_recovery_chaos_exactly_once(spark, tmp_path):
     assert quar.count() == 1
 
 
-def test_st05_st06_oracle_twin_smoke(spark, duck):
+def test_st05_st06_st09_oracle_twin_smoke(spark, duck):
     """Out-of-window drift guard (VERDICT r6 item 5): st05/st06 ride
     shared helpers (`_await`, the scratch-dir registry) that can churn
     in rounds where neither query is in the driver's correctness
     window — pin their oracle-twin hash equivalence at smoke sf in
     pytest so helper changes can't silently break them between
     rotations. Same compare device as the driver
-    (column-name-sorted canonical rows)."""
+    (column-name-sorted canonical rows).
+
+    st09 added per ADVICE r13 (medium): it additionally rides
+    `_scratch`/`lsh_incremental_pairs`, and its oracle compare IS the
+    batch-boundary-invariance theorem — a regression in those helpers
+    would otherwise ship unseen while st09 sits outside the window."""
     from kinesis_alerts_consumer_spark.plans.streaming_queries import (
         STREAMING_QUERIES,
     )
 
     from .comparison import assert_frames_match
 
-    for name in ("st05_stream_kayvee_pipeline", "st06_stream_volume_rollup"):
+    for name in ("st05_stream_kayvee_pipeline", "st06_stream_volume_rollup",
+                 "st09_stream_incremental_dedup"):
         fn, oracle = STREAMING_QUERIES[name]
         assert_frames_match(fn(spark, SF_SMOKE), duck, oracle, name=name)
 
