@@ -466,6 +466,27 @@ def _zero_light(stats: dict) -> None:
     stats["dropped_members"] = 0
 
 
+def _new_skew_light(new_idx: DataFrame, keys: list, stats: dict) -> None:
+    """New-batch bucket-skew warning light for the incremental
+    operators (VERDICT r13 item 5): ``max_bucket`` caps OLD-side
+    membership only — per-bucket candidate volume is
+    ``old_members(<=cap) x new_members``, so a hot bucket in the
+    INGEST batch still multiplies every capped old bucket by the
+    whole batch. That is linear in batch size (not a scale-killer,
+    by design), but it was the one skew axis in the family without a
+    light. Reports the max new-side bucket occupancy among probed
+    keys (every new-side key IS probed — matched_keys are derived
+    from the batch). Same contract as :func:`_overcap_light`: one
+    narrow SEPARATE aggregate action off the (checkpointed, tiny)
+    batch signature table; never touches the returned plan."""
+    row = (
+        new_idx.groupBy(*keys).agg(F.count("*").alias("_n"))
+        .agg(F.coalesce(F.max("_n"), F.lit(0)).alias("mx"))
+        .collect()[0]
+    )
+    stats["new_max_bucket"] = int(row["mx"])
+
+
 # hyperplane signs tables, one per (session, bands, bits, dim) — see
 # hyperplane_lsh_pairs. Weak-keyed on the SESSION OBJECT, not id():
 # a dict keyed on id(spark) would alias a new session to a dead one's
@@ -946,7 +967,10 @@ def hyperplane_incremental_pairs(
     filter; map-side partial membership counts; broadcast anti-join
     cap on OLD membership among PROBED buckets, output-identical to
     the corpus-wide cap since unmatched buckets contribute nothing;
-    ``stats`` light reports probed-bucket drops); the exact-cosine
+    ``stats`` light reports probed-bucket drops plus
+    ``new_max_bucket``, the new-side skew light — the cap never
+    touches batch members, so a hot ingest bucket announces itself
+    instead of silently multiplying candidates); the exact-cosine
     verify joins embeddings left-semi-pruned to suspected ids, norms
     precomputed per vector (the llm39 device). As with
     :func:`lsh_incremental_pairs`, the no-``index`` form builds the
@@ -1017,6 +1041,8 @@ def hyperplane_incremental_pairs(
     # the batch signature lineage feeds 2-3 consumers below — one
     # checkpoint, tiny table (the lsh_incremental_pairs rationale)
     new_idx = new_idx.localCheckpoint(eager=True)
+    if stats is not None:
+        _new_skew_light(new_idx, keys, stats)
 
     matched_keys = new_idx.select(*keys).distinct()
     old_matched = old_idx.join(F.broadcast(matched_keys), keys)
@@ -1232,7 +1258,12 @@ def lsh_incremental_pairs(
     ``stats`` light accordingly reports over-cap among PROBED
     buckets (same separate-action contract as every other light).
     The cap applies to OLD-side membership only — a hot bucket in
-    the corpus would explode EVERY future batch. The exact-Jaccard
+    the corpus would explode EVERY future batch. The NEW side is
+    deliberately uncapped (dropping batch members would silently
+    skip dedup for them); ``stats`` instead carries
+    ``new_max_bucket`` — the max new-side bucket occupancy — so a
+    pathological ingest batch (candidate volume = cap x batch-bucket
+    size) announces itself (VERDICT r13 item 5). The exact-Jaccard
     verify re-reads text ONLY for suspected ids — both sides are
     left-semi-joined to the candidate id sets before
     :func:`jaccard_pairs`, so the 100 TB text scan is pruned to the
@@ -1306,6 +1337,8 @@ def lsh_incremental_pairs(
     # defeating scan-side pruning) does not apply to a computed
     # signature table with nothing left to prune
     new_idx = new_idx.localCheckpoint(eager=True)
+    if stats is not None:
+        _new_skew_light(new_idx, keys, stats)
 
     # map-side semi filter: keep only index rows in buckets the new
     # batch actually probes (the index is scanned, never shuffled)

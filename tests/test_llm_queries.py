@@ -949,6 +949,102 @@ def test_lsh_incremental_pairs_semantics(spark):
     }
 
 
+def test_incremental_new_side_skew_light(spark):
+    """VERDICT r13 item 5: max_bucket caps OLD membership only, so a
+    hot bucket in the INGEST batch multiplies every capped old bucket
+    by the whole batch — the one skew axis in the incremental family
+    that had no stats light. Pins, for BOTH families: (a) the light's
+    value on a skewed fixture (K identical batch members -> K), (b)
+    plan identity — the stats pass must not touch the returned plan,
+    the separate-action contract every light obeys, (c) the
+    empty-batch zero."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_incremental_pairs,
+        lsh_incremental_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different unrelated content about spark")],
+        "doc_id long, text string",
+    )
+    # 6 byte-identical batch docs -> identical signatures -> one
+    # bucket per band holds all 6; plus two loners
+    new = spark.createDataFrame(
+        [(1000 + i, "boilerplate spam footer repeated across the batch")
+         for i in range(6)]
+        + [(2000, "a genuinely novel document about engines"),
+           (2001, "another unique snippet mentioning catalyst")],
+        "doc_id long, text string",
+    )
+    stats: dict = {}
+    with_stats = lsh_incremental_pairs(
+        new, old, bands=2, rows_per_band=2, shingle=3, threshold=0.5,
+        max_bucket=4, stats=stats)
+    assert stats["new_max_bucket"] == 6
+    # the old-side cap saw nothing (old buckets hold <= 2 members)
+    assert stats["overcap_buckets"] == 0
+    # plan identity: the light must not touch the returned plan.
+    # sameSemantics can't compare two invocations here — each call
+    # checkpoints the batch signatures to a DIFFERENT RDD — so
+    # compare optimized-plan strings with per-invocation ids
+    # (expression #ids, checkpoint RDDs) normalized away.
+    import re
+
+    def _norm_plan(df):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        p = re.sub(r"#\d+", "#N", p)
+        # higher-order-function lambda variables carry a global
+        # counter (x_31, y_34) that differs per invocation
+        p = re.sub(r"\b([a-z]+)_\d+#N", r"\1_K#N", p)
+        p = re.sub(r"ExistingRDD.*", "ExistingRDD", p)
+        p = re.sub(r"LogicalRDD.*", "LogicalRDD", p)
+        return p
+
+    plain = lsh_incremental_pairs(
+        new, old, bands=2, rows_per_band=2, shingle=3, threshold=0.5,
+        max_bucket=4)
+    assert _norm_plan(with_stats) == _norm_plan(plain)
+    # cap=None still reports the new-side light (it is independent of
+    # the old-side cap)
+    nstats: dict = {}
+    lsh_incremental_pairs(
+        new, old, bands=2, rows_per_band=2, shingle=3, threshold=0.5,
+        max_bucket=None, stats=nstats)
+    assert nstats["new_max_bucket"] == 6
+    assert nstats["overcap_buckets"] == 0  # _zero_light
+    # empty ingest batch -> 0 (coalesce over the empty max)
+    estats: dict = {}
+    lsh_incremental_pairs(
+        spark.createDataFrame([], "doc_id long, text string"), old,
+        bands=2, rows_per_band=2, shingle=3, threshold=0.5,
+        max_bucket=4, stats=estats)
+    assert estats["new_max_bucket"] == 0
+
+    # hyperplane family: 5 EXACTLY colinear batch vectors (scalar
+    # multiples -> identical sign bits at any hyperplane set) share
+    # every band bucket; the orthogonal loner does not
+    emb_old = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    emb_new = spark.createDataFrame(
+        [(1000 + i, [2.0 * (i + 1), 0.002 * (i + 1), 0.0, 0.0])
+         for i in range(5)]
+        + [(2000, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    hstats: dict = {}
+    hs = hyperplane_incremental_pairs(
+        emb_new, emb_old, bands=4, bits_per_band=4, dim=4,
+        threshold=0.9, max_bucket=16, stats=hstats)
+    assert hstats["new_max_bucket"] == 5
+    hplain = hyperplane_incremental_pairs(
+        emb_new, emb_old, bands=4, bits_per_band=4, dim=4,
+        threshold=0.9, max_bucket=16)
+    assert _norm_plan(hs) == _norm_plan(hplain)
+
+
 def test_split_assign_semantics(spark):
     """llm42's operator (r13): hash-range split + independent shard.
     Pins: exhaustive partition (every row exactly one split), widths
