@@ -114,6 +114,11 @@ _R14_RIDERS = frozenset(
      "mm03_resize_plan", "llm16_hash_sample"]
 )
 
+# Queries DEBUTING this round (outside the window per protocol:
+# pytest oracle twin + three-SF matches in the debut commit; first
+# driver seat r15+). Not riders — they had no r13 existence to miss.
+_R14_DEBUTS = frozenset(["mm04_media_near_dup"])
+
 # r13 window kept for the structural rider-set assertion (VERDICT r13
 # item 6): riders == oracle-backed − (_R13_WINDOW | _R14_WINDOW).
 _R13_WINDOW = frozenset(

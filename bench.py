@@ -104,7 +104,14 @@ def build_bench_line(timings: dict[str, float], sf: str,
     stack, scrolling the query name out of the driver's ~2000-char
     tail buffer, and nothing in the JSON line recorded that a warm-up
     had failed at all."""
-    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    # centisecond resolution below 1000 s, whole seconds above: a
+    # >=1000 s timing is a pathology where 0.01 s is noise, and the
+    # width bound is what keeps the 104-query worst-case line inside
+    # the driver's tail buffer (8 chars/value overflowed at 104)
+    short = {
+        name.split("_", 1)[0]: round(t, 2) if t < 1000 else int(round(t))
+        for name, t in timings.items()
+    }
     # Driver-contract guards: real raises, not asserts — python -O
     # strips asserts and an over-long/key-colliding line would reach
     # the driver's 2000-char tail buffer unparsed.

@@ -165,6 +165,85 @@ def extract_features(media: DataFrame, target_partitions: int | None = None) -> 
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def media_block_fingerprint_docs(
+    media: DataFrame, block_bytes: int = 64
+) -> DataFrame:
+    """Opaque binary payloads -> byte-block fingerprint "documents"
+    (``doc_id``, ``text``) — the bridge from multimodal columns onto
+    the gated text near-dup machinery (VERDICT r13 item 4: the
+    multimodal family's first-class dedup operator).
+
+    Each payload is hex-encoded and sliced into fixed
+    ``block_bytes``-byte blocks (2·block_bytes hex chars; the trailing
+    partial block is kept); the space-joined block tokens form a
+    ``text`` column whose WHITESPACE TOKEN SET is exactly the
+    payload's block multiset — so :func:`~.dedup.lsh_candidate_pairs`
+    / :func:`~.dedup.jaccard_pairs` at ``shingle=1`` compute
+    block-level MinHash-LSH and exact block-Jaccard over media bytes
+    with zero new shuffle machinery, and every existing lever (band
+    sizing, ``max_bucket`` + ``_overcap_light`` stats, ``sizing=
+    "auto"``) applies unchanged.
+
+    The hex slicing is one ``regexp_extract_all`` (``(.{1,2B})``
+    consecutive greedy chunks) — whole-stage codegen, NOT a
+    higher-order ``transform`` lambda (CodegenFallback; the r6
+    shingle lesson). No per-block md5 is needed: the LSH minhash
+    recipe hashes each token itself, and raw hex blocks are already
+    uniform tokens.
+
+    Similarity semantics: fixed OFFSET-ALIGNED blocks detect the
+    dominant binary dup classes — identical payloads, appended/
+    truncated tails (EXIF/metadata edits), and sparse in-place block
+    edits. A mid-payload byte INSERTION shifts every later block
+    (Jaccard collapses); insertion-robust media dedup needs
+    content-defined chunking (a rolling-hash cut rule, the llm11
+    fingerprint device over bytes) — out of scope here, same
+    contract as text fingerprints vs shingles. A re-ENCODE shares no
+    bytes at all; catching it needs real pixel decode
+    (:func:`_fake_decode`'s production replacement) + the embedding
+    near-dup family. At 100 TB the shuffle never carries payloads:
+    this projection reduces each item to its hex blocks once, and the
+    downstream LSH ships (doc_id, minhash longs) only.
+    """
+    if block_bytes < 1:
+        raise ValueError(f"block_bytes must be >= 1, got {block_bytes}")
+    blocks = F.regexp_extract_all(
+        F.hex(F.col("payload")),
+        F.lit(f"(.{{1,{2 * block_bytes}}})"),
+        F.lit(1),
+    )
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        F.array_join(blocks, " ").alias("text"),
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    block_bytes: int = 64,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Byte-block near-dup pairs over binary media payloads:
+    ``(a, b, jaccard)`` with ``a < b`` media_ids and exact
+    block-Jaccard ``>= threshold``. Pure composition:
+    :func:`media_block_fingerprint_docs` into the gated
+    LSH candidate + verify pipeline at ``shingle=1`` — banded
+    MinHash buckets (never all-pairs), the ``max_bucket`` cap with
+    the shared over-cap stats light, exact verify joined only on
+    candidate pairs."""
+    from .dedup import jaccard_pairs, lsh_candidate_pairs
+
+    docs = media_block_fingerprint_docs(media, block_bytes=block_bytes)
+    cands = lsh_candidate_pairs(
+        docs, bands=bands, rows_per_band=rows_per_band, shingle=1,
+        max_bucket=max_bucket, stats=stats)
+    return jaccard_pairs(docs, cands, shingle=1, threshold=threshold)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one row per sampled frame offset.
     The offsets are real column logic (sequence over duration); the

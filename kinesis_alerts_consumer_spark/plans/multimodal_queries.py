@@ -119,8 +119,72 @@ FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
 """
 
 
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm04 (r14): byte-block fingerprint near-dup over binary media
+    payloads — the multimodal family's first-class dedup operator
+    (VERDICT r13 item 4). The media fixture reuses llm03's mutation
+    device (tail-truncated copies of doc_id<20) as PAYLOAD mutants:
+    fixed offset-aligned blocks are prefix-stable, so a truncated
+    tail shares every complete leading block and block-Jaccard stays
+    high — exactly the appended/truncated-metadata dup class the
+    operator exists to catch. Banding mirrors the gated llm03
+    fixture; `suggest_lsh_sizing`/`sizing="auto"` apply unchanged at
+    corpus scale (the operator delegates to lsh_candidate_pairs)."""
+    from .llm_queries import _mutated_docs
+
+    t = _tables(spark, sf_dir)
+    base = _mutated_docs(t["documents"])
+    media = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return M.media_near_dup_pairs(
+        media, block_bytes=24, bands=2, rows_per_band=2,
+        threshold=0.5, max_bucket=64,
+    ).orderBy("a", "b")
+
+
+def _sql_media_near_dup() -> str:
+    """DuckDB twin: hex(encode(text)) reproduces Spark's
+    hex(cast(text as binary)) byte-for-byte (both uppercase UTF-8),
+    48-hex-char slices reproduce the 24-byte blocks (trailing partial
+    kept), and from there the pipeline is llm03's oracle verbatim
+    with tokens = blocks (shingle=1)."""
+    from .llm_queries import _MUTATED_DOCS_DUCK, _duck_minhash
+
+    return f"""
+WITH base AS ({_MUTATED_DOCS_DUCK}),
+hx AS (SELECT doc_id, hex(encode(text)) AS h FROM base),
+blk AS (SELECT doc_id, substr(h, (i-1)*48+1, 48) AS s
+        FROM hx, UNNEST(generate_series(1, (len(h)+47)//48)) AS u(i)),
+sig AS (SELECT doc_id, {_duck_minhash(4)} FROM blk GROUP BY doc_id),
+bb AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig
+       UNION ALL
+       SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig),
+keep AS (SELECT band, r0, r1 FROM bb GROUP BY band, r0, r1
+         HAVING COUNT(*) <= 64),
+bf AS (SELECT bb.doc_id, bb.band, bb.r0, bb.r1
+       FROM bb JOIN keep USING (band, r0, r1)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bf l JOIN bf r ON l.band = r.band AND l.r0 = r.r0
+          AND l.r1 = r.r1 AND l.doc_id < r.doc_id),
+tok AS (SELECT DISTINCT doc_id, s FROM blk),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
+      FROM cand c)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm01_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm02_frame_plan": (q_frame_plan, SQL_FRAME_PLAN),
     "mm03_resize_plan": (q_resize_plan, SQL_RESIZE_PLAN),
+    # mm04 debuts in r14 (outside the r14 window per the rotation
+    # protocol; pytest oracle twin + three-SF matches recorded in the
+    # debut commit; first driver row r15+)
+    "mm04_media_near_dup": (q_media_near_dup, _sql_media_near_dup()),
 }

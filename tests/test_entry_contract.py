@@ -17,10 +17,10 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    # 103 = the 98-query r11 surface + llm39 (debuted r12) + llm40,
-    # llm41, llm42, st09 (debuted r13, outside the window per the
-    # rotation plan)
-    assert len(qs) == 103
+    # 104 = the 98-query r11 surface + llm39 (debuted r12) + llm40,
+    # llm41, llm42, st09 (debuted r13) + mm04 (debuted r14, outside
+    # the window per the rotation plan)
+    assert len(qs) == 104
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)
@@ -81,9 +81,14 @@ def test_substitute_rider_set_is_exactly_the_documented_list():
     recorded substitute verify. Updating a window without updating the
     rider list (or vice versa) fails here loudly."""
     oracle_backed = set(entry.oracle_sql())
-    riders = oracle_backed - (entry._R13_WINDOW | entry._R14_WINDOW)
+    riders = oracle_backed - (entry._R13_WINDOW | entry._R14_WINDOW) \
+        - entry._R14_DEBUTS
     assert riders == entry._R14_RIDERS, (
         sorted(riders ^ entry._R14_RIDERS))
+    # debutantes are genuinely new this round: outside both windows,
+    # never a rider
+    assert not entry._R14_DEBUTS & (
+        entry._R13_WINDOW | entry._R14_WINDOW | entry._R14_RIDERS)
     # the windows themselves must be disjoint (each key's seat counts
     # once) and every rider must be oracle-backed (the no-oracle
     # ext05/ext06 entries are pinned at 49-50, not riders)

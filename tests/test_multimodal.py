@@ -107,3 +107,76 @@ def test_resize_plan_aspect_preserving(spark):
     assert (plans[1].target_width, plans[1].target_height) == (512, 384)
     # already smaller than max side -> unchanged
     assert (plans[2].target_width, plans[2].target_height) == (300, 200)
+
+
+def test_media_block_fingerprint_and_near_dup(spark):
+    """mm04's operator (r14, VERDICT r13 item 4) on REAL binary: a
+    PNG, the same PNG with an appended metadata-ish tail (the
+    dominant binary dup class: identical pixels, edited trailer), and
+    an unrelated PNG. Pins the block-token bridge semantics (hex
+    slicing width, trailing partial block, prefix stability) and the
+    end-to-end pair detection + over-cap stats reuse."""
+    from kinesis_alerts_consumer_spark.operators.multimodal import (
+        media_block_fingerprint_docs,
+        media_near_dup_pairs,
+    )
+
+    png = make_png(16, 16)
+    near = png + b"EXIF-ish trailer appended after IEND"
+    other = make_png(64, 2)
+    media = spark.createDataFrame(
+        [(1, png), (2, near), (3, other)],
+        "media_id long, payload binary",
+    )
+
+    docs = {r.doc_id: r.text
+            for r in media_block_fingerprint_docs(media, 8).collect()}
+    # token arithmetic: ceil(len/8) blocks, 16 hex chars each except
+    # a trailing partial
+    toks = docs[1].split(" ")
+    assert len(toks) == -(-len(png) // 8)
+    assert all(len(t) == 16 for t in toks[:-1])
+    assert len(toks[-1]) == (len(png) % 8 or 8) * 2
+    # prefix stability: the tailed copy extends the original's tokens
+    # with every shared complete block intact
+    toks2 = docs[2].split(" ")
+    shared = len(png) // 8  # complete blocks of the shorter payload
+    assert toks2[:shared] == toks[:shared]
+
+    # 8-byte blocks on this ~81-byte PNG: 10 shared complete blocks
+    # over a ~16-block union -> J ~= 0.625, comfortably over 0.5
+    pairs = {(r.a, r.b): r.jaccard
+             for r in media_near_dup_pairs(media, block_bytes=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert not any(3 in p for p in pairs)
+
+    # the over-cap light arrives through the shared lsh machinery
+    boiler = spark.createDataFrame(
+        [(i, png) for i in range(10)], "media_id long, payload binary")
+    stats: dict = {}
+    media_near_dup_pairs(boiler, block_bytes=32, max_bucket=4,
+                         stats=stats).collect()
+    assert stats["overcap_buckets"] >= 1
+    assert stats["dropped_members"] >= 10
+
+    # input validation
+    import pytest
+
+    with pytest.raises(ValueError, match="block_bytes"):
+        media_block_fingerprint_docs(media, 0)
+
+
+def test_mm04_oracle_twin_smoke(spark, duck):
+    """Debut-protocol pytest twin (same device as the streaming smoke
+    twin): mm04's gated query vs its DuckDB oracle at smoke sf, the
+    driver's own compare."""
+    from kinesis_alerts_consumer_spark.plans.multimodal_queries import (
+        MULTIMODAL_QUERIES,
+    )
+
+    from .comparison import assert_frames_match
+    from .conftest import SF_SMOKE
+
+    fn, oracle = MULTIMODAL_QUERIES["mm04_media_near_dup"]
+    assert_frames_match(fn(spark, SF_SMOKE), duck, oracle,
+                        name="mm04_media_near_dup")
