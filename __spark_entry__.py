@@ -117,7 +117,10 @@ _R14_RIDERS = frozenset(
 # Queries DEBUTING this round (outside the window per protocol:
 # pytest oracle twin + three-SF matches in the debut commit; first
 # driver seat r15+). Not riders — they had no r13 existence to miss.
-_R14_DEBUTS = frozenset(["mm04_media_near_dup"])
+_R14_DEBUTS = frozenset(
+    ["mm04_media_near_dup", "mm05_media_cdc_near_dup",
+     "mm06_media_incremental_dedup"]
+)
 
 # r13 window kept for the structural rider-set assertion (VERDICT r13
 # item 6): riders == oracle-backed − (_R13_WINDOW | _R14_WINDOW).

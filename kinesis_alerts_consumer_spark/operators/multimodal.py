@@ -244,6 +244,130 @@ def media_near_dup_pairs(
     return jaccard_pairs(docs, cands, shingle=1, threshold=threshold)
 
 
+def media_cdc_fingerprint_docs(
+    media: DataFrame, cut_nibble: str = "7"
+) -> DataFrame:
+    """Content-defined-chunking fingerprint "documents" over binary
+    payloads — the INSERTION-ROBUST complement to
+    :func:`media_block_fingerprint_docs` (whose fixed offset-aligned
+    blocks collapse under a mid-payload byte insertion: every later
+    block shifts).
+
+    Cut rule: a chunk boundary AFTER every byte whose low nibble is
+    ``cut_nibble`` (expected chunk ≈ 16 bytes on uniform data) —
+    boundaries depend only on local byte VALUES, never on offsets, so
+    an insertion re-chunks ONLY the chunk it lands in and every other
+    chunk token survives verbatim. This is gear/rolling-hash CDC
+    reduced to its 1-byte-window special case: the weakest cut rule
+    that is still content-defined, chosen because it compiles to TWO
+    ``regexp_replace`` calls in whole-stage codegen (no higher-order
+    lambda, no per-byte Python):
+
+    1. ``hex(payload)`` -> comma-separated byte tokens
+       (``(..)`` -> ``$1,``);
+    2. the comma after a low-nibble match becomes a space
+       (``{N}," -> "{N} ``) — spaces now separate chunks, commas
+       separate bytes within a chunk.
+
+    The whitespace TOKEN set of the result (chunks as
+    comma-joined byte strings) feeds the gated LSH machinery at
+    ``shingle=1``, same as the block bridge. A production system
+    wanting larger windows (gear hash over 8-byte windows, min/max
+    chunk bounds) swaps this function only; the pipeline shape —
+    chunk tokens into banded MinHash — is identical.
+    """
+    if len(cut_nibble) != 1 or cut_nibble not in "0123456789ABCDEF":
+        raise ValueError(
+            f"cut_nibble must be one uppercase hex char, got "
+            f"{cut_nibble!r}")
+    byte_csv = F.regexp_replace(
+        F.hex(F.col("payload")), F.lit("(..)"), F.lit("$1,"))
+    chunked = F.regexp_replace(
+        byte_csv, F.lit(f"{cut_nibble},"), F.lit(f"{cut_nibble} "))
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        chunked.alias("text"),
+    )
+
+
+def media_cdc_near_dup_pairs(
+    media: DataFrame,
+    cut_nibble: str = "7",
+    bands: int = 2,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Insertion-robust near-dup pairs over binary media payloads:
+    ``(a, b, jaccard)`` with exact chunk-Jaccard ``>= threshold``.
+    :func:`media_cdc_fingerprint_docs` into the gated LSH candidate +
+    verify pipeline at ``shingle=1`` — the composition mirror of
+    :func:`media_near_dup_pairs` with content-defined chunks instead
+    of offset-aligned blocks."""
+    from .dedup import jaccard_pairs, lsh_candidate_pairs
+
+    docs = media_cdc_fingerprint_docs(media, cut_nibble=cut_nibble)
+    cands = lsh_candidate_pairs(
+        docs, bands=bands, rows_per_band=rows_per_band, shingle=1,
+        max_bucket=max_bucket, stats=stats)
+    return jaccard_pairs(docs, cands, shingle=1, threshold=threshold)
+
+
+def media_block_index(
+    media: DataFrame,
+    block_bytes: int = 64,
+    bands: int = 2,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Durable byte-block LSH index over a media CORPUS — the
+    multimodal analogue of :func:`~.dedup.lsh_build_index` (write it
+    ``partitionBy("band")`` once; probe every future ingest batch
+    with :func:`media_incremental_pairs`). ``block_bytes`` is index
+    geometry not recoverable from the schema — callers own passing
+    the build-time value at probe time, the same contract as
+    ``shingle`` on the text index."""
+    from .dedup import lsh_build_index
+
+    return lsh_build_index(
+        media_block_fingerprint_docs(media, block_bytes=block_bytes),
+        bands=bands, rows_per_band=rows_per_band, shingle=1)
+
+
+def media_incremental_pairs(
+    media_new: DataFrame,
+    media_old: DataFrame,
+    block_bytes: int = 64,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    threshold: float = 0.5,
+    max_bucket: int | None = 64,
+    index: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Byte-block near-dup pairs of NEW media against an EXISTING
+    corpus — ``(a, b, jaccard)`` with ``a`` an old media_id, ``b``
+    new. Completes the incremental-dedup story across all three
+    modalities (text :func:`~.dedup.lsh_incremental_pairs`, embedding
+    :func:`~.dedup.hyperplane_incremental_pairs`, and now binary
+    media): pure composition of the block bridge with the text
+    incremental probe at ``shingle=1``, so the entire certified
+    physical shape — index scanned never shuffled, broadcast matched
+    keys, old-side-only cap, ``new_max_bucket`` skew light, pruned
+    verify — applies verbatim. ``index`` takes a written-back
+    :func:`media_block_index` table (geometry validated from the
+    table, the shared contract); old/new media_id spaces must be
+    disjoint."""
+    from .dedup import lsh_incremental_pairs
+
+    return lsh_incremental_pairs(
+        media_block_fingerprint_docs(media_new, block_bytes=block_bytes),
+        media_block_fingerprint_docs(media_old, block_bytes=block_bytes),
+        bands=bands, rows_per_band=rows_per_band, shingle=1,
+        threshold=threshold, max_bucket=max_bucket, index=index,
+        stats=stats)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one row per sampled frame offset.
     The offsets are real column logic (sequence over duration); the

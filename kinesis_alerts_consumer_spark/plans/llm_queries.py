@@ -1545,26 +1545,32 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-def incremental_near_dup_sql(newdocs_cte: str) -> str:
-    """Oracle template shared by llm40 and st09 (r13 review: the
-    hand-copied twin would let the shingle/minhash/band recipe drift
-    across three edit sites): full-recompute new-vs-old near-dup at
-    the llm03 sizing — per-side shingle/minhash/band CTEs from the
-    same ``_duck_minhash`` recipe, OLD-side-only HAVING cap, old×new
-    candidate join, exact-Jaccard verify >= 0.5. ``newdocs_cte`` is
-    the only variation point: the SELECT defining the new batch."""
+def _trigram_tokens_cte(src: str) -> str:
+    """(doc_id, s) trigram shingle rows for a (doc_id, text) relation
+    — the llm03 tokenization, shared verbatim across every
+    incremental twin."""
+    return f"""SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM {src}),
+              UNNEST(generate_series(1, len(ws)-2)) AS u(i)
+         WHERE len(ws) >= 3"""
+
+
+def incremental_pairs_sql(newdocs_cte: str, tokens_of=None) -> str:
+    """Core incremental-dedup oracle template (r13 review: ONE edit
+    site for the minhash/band/cap/verify recipe; r14: tokenization
+    parameterized so the media block twin rides the same chain):
+    full-recompute new-vs-old near-dup at the llm03 sizing —
+    per-side token/minhash/band CTEs from the same ``_duck_minhash``
+    recipe, OLD-side-only HAVING cap, old×new candidate join,
+    exact-Jaccard verify >= 0.5. ``newdocs_cte`` defines the new
+    batch; ``tokens_of(src)`` yields the (doc_id, s) tokenization of
+    a relation (default: llm03 trigram shingles)."""
+    tokens_of = tokens_of or _trigram_tokens_cte
     return f"""
 WITH newdocs AS ({newdocs_cte}),
-w_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        FROM documents),
-sh_o AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-         FROM w_o, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
-         WHERE len(ws) >= 3),
-w_n AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        FROM newdocs),
-sh_n AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-         FROM w_n, UNNEST(generate_series(1, len(ws)-2)) AS u(i)
-         WHERE len(ws) >= 3),
+sh_o AS ({tokens_of("documents")}),
+sh_n AS ({tokens_of("newdocs")}),
 sig_o AS (SELECT doc_id, {_duck_minhash(4)} FROM sh_o GROUP BY doc_id),
 sig_n AS (SELECT doc_id, {_duck_minhash(4)} FROM sh_n GROUP BY doc_id),
 bb_o AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_o
@@ -1588,6 +1594,11 @@ j AS (SELECT c.a, c.b,
 SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
 """
+
+
+def incremental_near_dup_sql(newdocs_cte: str) -> str:
+    """The text-family twin (llm40/st09): trigram tokenization."""
+    return incremental_pairs_sql(newdocs_cte)
 
 
 SQL_INCREMENTAL_NEAR_DUP = incremental_near_dup_sql("""

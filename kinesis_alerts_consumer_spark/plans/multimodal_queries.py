@@ -179,12 +179,162 @@ FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
 """
 
 
+def q_media_cdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm05 (r14): INSERTION-robust media near-dup via content-defined
+    chunking. The mutants here are mid-payload INSERTIONS (a token
+    spliced in after the 5th word) — the dup class mm04's
+    offset-aligned blocks provably miss (every block after the
+    insertion shifts; block-Jaccard collapses toward the
+    prefix-only share) and CDC survives (only the chunk containing
+    the splice changes). The pytest twin pins the contrast
+    explicitly."""
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    ws = F.split(F.col("text"), " ")
+    inserted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.size(ws) > 5,
+            F.concat_ws(
+                " ",
+                F.concat_ws(" ", F.slice(ws, 1, 5)),
+                F.lit("zzspliced"),
+                F.concat_ws(" ", F.slice(ws, 6, F.size(ws) - 5)),
+            ),
+        ).otherwise(F.concat(F.col("text"), F.lit(" zzspliced")))
+        .alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionAll(inserted)
+    media = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return M.media_cdc_near_dup_pairs(
+        media, cut_nibble="7", bands=2, rows_per_band=2,
+        threshold=0.5, max_bucket=64,
+    ).orderBy("a", "b")
+
+
+_INSERTED_DOCS_DUCK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(ws) > 5
+              THEN array_to_string(ws[1:5], ' ') || ' zzspliced ' ||
+                   array_to_string(ws[6:len(ws)], ' ')
+              ELSE text || ' zzspliced' END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 20)
+"""
+
+
+def _sql_media_cdc_near_dup() -> str:
+    """DuckDB twin of the CDC bridge: the same two regexp_replace
+    calls ((..) -> \\1, byte CSV, then '7,' -> '7 ' chunk cuts) over
+    hex(encode(text)), then the llm03 oracle chain with tokens =
+    chunks."""
+    from .llm_queries import _duck_minhash
+
+    return f"""
+WITH base AS ({_INSERTED_DOCS_DUCK}),
+ch AS (SELECT doc_id,
+              regexp_replace(
+                regexp_replace(hex(encode(text)), '(..)', '\\1,', 'g'),
+                '7,', '7 ', 'g') AS chunked
+       FROM base),
+blk AS (SELECT doc_id, UNNEST(string_split_regex(trim(chunked), '\\s+')) AS s
+        FROM ch),
+sig AS (SELECT doc_id, {_duck_minhash(4)} FROM blk GROUP BY doc_id),
+bb AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig
+       UNION ALL
+       SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig),
+keep AS (SELECT band, r0, r1 FROM bb GROUP BY band, r0, r1
+         HAVING COUNT(*) <= 64),
+bf AS (SELECT bb.doc_id, bb.band, bb.r0, bb.r1
+       FROM bb JOIN keep USING (band, r0, r1)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bf l JOIN bf r ON l.band = r.band AND l.r0 = r.r0
+          AND l.r1 = r.r1 AND l.doc_id < r.doc_id),
+tok AS (SELECT DISTINCT doc_id, s FROM blk),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
+      FROM cand c)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
+"""
+
+
+# mm06 scratch registry (the llm40 device)
+from . import _scratch  # noqa: E402
+
+_MM06_DIRS = _scratch.registry()
+
+
+def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm06 (r14): incremental media dedup against a prebuilt
+    byte-block index — completes the incremental story across all
+    three modalities (text llm40, embedding llm41, binary media
+    mm06). The corpus's media_block_index is built once, written
+    partitionBy(band), read back (the llm40 lineage lesson); the new
+    batch (tail-truncated payload mutants at +1,000,000, disjoint
+    ids) probes it through media_incremental_pairs — the certified
+    lsh_incremental_pairs physical shape verbatim at shingle=1."""
+    from .llm_queries import _mutated_docs
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    as_media = lambda d: d.select(  # noqa: E731
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    old = as_media(docs)
+    new = as_media(
+        _mutated_docs(docs).filter(F.col("doc_id") >= 1000000))
+    root = _scratch.new_scratch(_MM06_DIRS, "mm06_index_")
+    M.media_block_index(old, block_bytes=24, bands=2, rows_per_band=2) \
+        .write.partitionBy("band").parquet(root + "/index")
+    idx = spark.read.parquet(root + "/index")
+    return M.media_incremental_pairs(
+        new, old, block_bytes=24, threshold=0.5, max_bucket=64,
+        index=idx,
+    ).orderBy("a", "b")
+
+
+def _sql_media_incremental_dedup() -> str:
+    """The incremental oracle core (llm40/st09's chain) with block
+    tokenization: 48-hex-char slices of hex(encode(text)) on both
+    sides, new batch = the llm40 mutants."""
+    from .llm_queries import incremental_pairs_sql
+
+    def block_tokens(src: str) -> str:
+        return f"""SELECT doc_id, substr(h, (i-1)*48+1, 48) AS s
+         FROM (SELECT doc_id, hex(encode(text)) AS h FROM {src}),
+              UNNEST(generate_series(1, (len(h)+47)//48)) AS u(i)"""
+
+    return incremental_pairs_sql(
+        """
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(ws) > 2
+              THEN array_to_string(ws[1:len(ws)-2], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 20)""",
+        tokens_of=block_tokens,
+    )
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm01_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm02_frame_plan": (q_frame_plan, SQL_FRAME_PLAN),
     "mm03_resize_plan": (q_resize_plan, SQL_RESIZE_PLAN),
-    # mm04 debuts in r14 (outside the r14 window per the rotation
-    # protocol; pytest oracle twin + three-SF matches recorded in the
-    # debut commit; first driver row r15+)
+    # mm04-mm06 debut in r14 (outside the r14 window per the rotation
+    # protocol; pytest oracle twins + three-SF matches recorded in
+    # the debut commits; first driver rows r15+)
     "mm04_media_near_dup": (q_media_near_dup, _sql_media_near_dup()),
+    "mm05_media_cdc_near_dup": (
+        q_media_cdc_near_dup, _sql_media_cdc_near_dup()),
+    "mm06_media_incremental_dedup": (
+        q_media_incremental_dedup, _sql_media_incremental_dedup()),
 }

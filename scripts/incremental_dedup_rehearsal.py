@@ -53,7 +53,8 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-SCRATCH = "/tmp/incdedup_rehearsal"
+# env-overridable so smoke runs can coexist with a standing 5M scratch
+SCRATCH = os.environ.get("INCDEDUP_SCRATCH", "/tmp/incdedup_rehearsal")
 MUTANT_OFFSET = 10_000_000_000
 VOCAB = 50_000
 DOC_TOKENS = 30

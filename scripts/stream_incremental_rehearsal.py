@@ -1,0 +1,138 @@
+"""Streaming incremental-dedup rehearsal (VERDICT r13 item 7).
+
+Certifies the ONE claim of the st09 stream-static pattern not yet
+measured past fixture scale: with a standing 5M-doc corpus index,
+the per-micro-batch probe cost is FLAT and STATE-FREE across batches
+— batch k pays the same wall as batch 1 (its own signature pass +
+one map-side scan of the index), with no state accumulating in the
+streaming engine and no per-batch growth from lineage, caches, or
+state stores. The batch-boundary-invariance half of the theorem
+(union of per-batch pairs == the one-shot probe) is re-verified on
+the same run via planted recall + pair count.
+
+Protocol: REUSES the standing scripts/incremental_dedup_rehearsal.py
+scratch (old corpus, 20k new batch with 100 planted mutants, the
+partitionBy(band) index) — run that with arm B first; the args
+marker refuses a mismatched scratch. The new batch is split into
+NBATCH parquet files replayed as a file stream with
+maxFilesPerTrigger=1 (one micro-batch per file, the st09 shape);
+``foreachBatch`` runs ``lsh_incremental_pairs(batch, old, index=)``
+and sinks each batch to its own ``b{id}`` subdir (replay-idempotent,
+st09's device). Per-batch walls are measured INSIDE foreachBatch
+around probe+sink — the recurring per-batch cost a deployment pays.
+
+Usage:
+    python scripts/stream_incremental_rehearsal.py [N [M [K [NBATCH]]]]
+Defaults: 5_000_000 20_000 100 5. Results recorded in BASELINE.md
+round-14.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# env-overridable so a smoke run can use its own scratch while a 5M
+# scratch stands (must point at an incremental_dedup_rehearsal
+# scratch written with the same override)
+SCRATCH = os.environ.get("INCDEDUP_SCRATCH", "/tmp/incdedup_rehearsal")
+MUTANT_OFFSET = 10_000_000_000
+
+
+def main() -> None:
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_incremental_pairs,
+    )
+    from kinesis_alerts_consumer_spark.session import get_spark
+
+    n_old = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    m_new = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    k_mut = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+
+    marker = f"{SCRATCH}/args_marker.txt"
+    stamp = f"{n_old} {m_new} {k_mut}"
+    written = open(marker).read().strip() \
+        if os.path.exists(marker) else "<missing>"
+    if written != stamp or not os.path.exists(f"{SCRATCH}/index"):
+        raise SystemExit(
+            f"needs the standing incremental_dedup_rehearsal scratch "
+            f"for ({stamp}) with its index — found ({written}). Run "
+            f"incremental_dedup_rehearsal.py {n_old} {m_new} {k_mut} B "
+            "first.")
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    old = spark.read.parquet(f"{SCRATCH}/old")
+    idx = spark.read.parquet(f"{SCRATCH}/index")
+    seeds = [k * (n_old // k_mut) + 3 for k in range(k_mut)]
+    planted = {(s, s + MUTANT_OFFSET) for s in seeds}
+
+    # one parquet FILE per intended micro-batch: repartition
+    # round-robins rows, so mutants spread across batches
+    src = f"{SCRATCH}/stream_src"
+    root = f"{SCRATCH}/stream_run"
+    for d in (src, root):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    new = spark.read.parquet(f"{SCRATCH}/new")
+    new.repartition(n_batches).write.parquet(src)
+
+    walls: list[tuple[int, float, int]] = []
+    out = os.path.join(root, "out")
+
+    def _probe(batch_df, batch_id: int) -> None:
+        t0 = time.monotonic()
+        pairs = lsh_incremental_pairs(
+            batch_df, old, shingle=3, threshold=0.5, max_bucket=64,
+            index=idx)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id}"))
+        n_rows = batch_df.count()
+        walls.append((int(batch_id), time.monotonic() - t0, n_rows))
+        print(f"  [batch {batch_id}] rows={n_rows} "
+              f"wall={walls[-1][1]:.1f}s", flush=True)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t_all = time.monotonic()
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = time.monotonic() - t_all
+
+    got = spark.read.parquet(os.path.join(out, "b*"))
+    pairs = {(r.a, r.b) for r in got.select("a", "b").collect()}
+    recall = sum(p in pairs for p in planted)
+
+    walls.sort()
+    per = [w for _, w, _ in walls]
+    print(f"\nn_old={n_old} m_new={m_new} k_mut={k_mut} "
+          f"n_batches={len(per)}")
+    print("batch walls: "
+          + " ".join(f"b{i}={w:.1f}s" for i, w, _ in walls))
+    # flatness: batch 1+ vs the max (batch 0 may carry one-time
+    # codegen/geometry warmup; state-free means NO UPWARD TREND)
+    steady = per[1:] if len(per) > 1 else per
+    print(f"steady-state band: min={min(steady):.1f}s "
+          f"max={max(steady):.1f}s "
+          f"spread={max(steady) / min(steady):.2f}x")
+    print(f"pairs={len(pairs)} planted_recall={recall}/{k_mut} "
+          f"stream_total={total:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -166,10 +166,109 @@ def test_media_block_fingerprint_and_near_dup(spark):
         media_block_fingerprint_docs(media, 0)
 
 
-def test_mm04_oracle_twin_smoke(spark, duck):
-    """Debut-protocol pytest twin (same device as the streaming smoke
-    twin): mm04's gated query vs its DuckDB oracle at smoke sf, the
-    driver's own compare."""
+def test_media_cdc_insertion_robustness(spark):
+    """mm05's claim, pinned as a CONTRAST: a mid-payload insertion
+    breaks the offset-aligned block fingerprint (every later block
+    shifts) but survives content-defined chunking (only the chunk
+    containing the splice changes). Same payloads through both
+    operators."""
+    from kinesis_alerts_consumer_spark.operators.multimodal import (
+        media_cdc_fingerprint_docs,
+        media_cdc_near_dup_pairs,
+        media_near_dup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain stays mainly on the plain and the cat "
+            "sat on the mat watching the world go by slowly") * 2
+    # splice 9 bytes into the middle -> every fixed block after ~190
+    # bytes shifts; CDC chunks before/after the splice are untouched
+    mid = len(base) // 2
+    inserted = base[:mid] + "[SPLICE!]" + base[mid:]
+    media = spark.createDataFrame(
+        [(1, base.encode()), (2, inserted.encode()),
+         (3, b"completely unrelated binary \x00\x01\x02 payload here")],
+        "media_id long, payload binary",
+    )
+
+    # CDC chunk tokens: identical outside the splice neighborhood
+    docs = {r.doc_id: r.text.split(" ")
+            for r in media_cdc_fingerprint_docs(media, "7").collect()}
+    shared = set(docs[1]) & set(docs[2])
+    union = set(docs[1]) | set(docs[2])
+    assert len(shared) / len(union) >= 0.8  # chunk-level survival
+
+    cdc_pairs = {(r.a, r.b): r.jaccard
+                 for r in media_cdc_near_dup_pairs(media, "7").collect()}
+    assert (1, 2) in cdc_pairs and cdc_pairs[(1, 2)] >= 0.5
+    assert not any(3 in p for p in cdc_pairs)
+
+    # the block fingerprint misses the same pair: offset-shifted
+    # blocks share only the pre-splice prefix, J < 0.5 at 16-byte
+    # blocks on a ~380-byte payload
+    blk_pairs = {(r.a, r.b)
+                 for r in media_near_dup_pairs(
+                     media, block_bytes=16).collect()}
+    assert (1, 2) not in blk_pairs
+
+    # cut-rule validation
+    import pytest
+
+    with pytest.raises(ValueError, match="cut_nibble"):
+        media_cdc_fingerprint_docs(media, "x7")
+    with pytest.raises(ValueError, match="cut_nibble"):
+        media_cdc_fingerprint_docs(media, "g")
+
+
+def test_media_incremental_pairs_prebuilt_index(spark, tmp_path):
+    """mm06's operator: new media probed against a written-back
+    media_block_index — geometry read from the table (the shared
+    contract raises on mismatch arrives via lsh_incremental_pairs),
+    new-vs-old only, and the new_max_bucket skew light rides along."""
+    from kinesis_alerts_consumer_spark.operators.multimodal import (
+        media_block_index,
+        media_incremental_pairs,
+    )
+
+    png = make_png(16, 16)
+    old = spark.createDataFrame(
+        [(1, png), (2, b"some other old corpus payload entirely")],
+        "media_id long, payload binary",
+    )
+    # exact payload copy: identical block-token set -> identical
+    # signatures -> guaranteed bucket match at ANY banding (the llm40
+    # test's device; near-dup recall itself is mm04's J>=0.5 fixture)
+    new = spark.createDataFrame(
+        [(1000, png), (1001, b"fresh unrelated new payload")],
+        "media_id long, payload binary",
+    )
+
+    d = str(tmp_path / "media_index")
+    media_block_index(old, block_bytes=8).write.partitionBy(
+        "band").parquet(d)
+    idx = spark.read.parquet(d)
+
+    stats: dict = {}
+    pairs = {(r.a, r.b): r.jaccard
+             for r in media_incremental_pairs(
+                 new, old, block_bytes=8, index=idx,
+                 stats=stats).collect()}
+    assert pairs.get((1, 1000)) == 1.0
+    assert all(a < 1000 <= b for a, b in pairs)
+    assert stats["new_max_bucket"] >= 1
+
+    # inline form (no index) agrees
+    inline = {(r.a, r.b): r.jaccard
+              for r in media_incremental_pairs(
+                  new, old, block_bytes=8, bands=2,
+                  rows_per_band=2).collect()}
+    assert inline == pairs
+
+
+def test_mm_oracle_twin_smoke(spark, duck):
+    """Debut-protocol pytest twins (same device as the streaming smoke
+    twin): the r14 multimodal debutantes vs their DuckDB oracles at
+    smoke sf, the driver's own compare."""
     from kinesis_alerts_consumer_spark.plans.multimodal_queries import (
         MULTIMODAL_QUERIES,
     )
@@ -177,6 +276,7 @@ def test_mm04_oracle_twin_smoke(spark, duck):
     from .comparison import assert_frames_match
     from .conftest import SF_SMOKE
 
-    fn, oracle = MULTIMODAL_QUERIES["mm04_media_near_dup"]
-    assert_frames_match(fn(spark, SF_SMOKE), duck, oracle,
-                        name="mm04_media_near_dup")
+    for name in ("mm04_media_near_dup", "mm05_media_cdc_near_dup",
+                 "mm06_media_incremental_dedup"):
+        fn, oracle = MULTIMODAL_QUERIES[name]
+        assert_frames_match(fn(spark, SF_SMOKE), duck, oracle, name=name)
