@@ -106,8 +106,10 @@ def build_bench_line(timings: dict[str, float], sf: str,
     had failed at all."""
     # centisecond resolution below 1000 s, whole seconds above: a
     # >=1000 s timing is a pathology where 0.01 s is noise, and the
-    # width bound is what keeps the 104-query worst-case line inside
-    # the driver's tail buffer (8 chars/value overflowed at 104)
+    # width bound is what keeps the worst-case line inside the
+    # driver's tail buffer (8 chars/value overflowed at 104 queries;
+    # the contract test re-proves the bound at the CURRENT surface —
+    # 106 as of r14 — on every run)
     short = {
         name.split("_", 1)[0]: round(t, 2) if t < 1000 else int(round(t))
         for name, t in timings.items()
@@ -139,8 +141,9 @@ def build_bench_line(timings: dict[str, float], sf: str,
     # alone (~200 chars) would push the worst-case line past the
     # driver's ~2000-char stdout tail buffer
     compact = {"separators": (",", ":")}
-    # warmup_failures is the one unbounded optional field (103 short
-    # keys alone are ~800 chars): shrink it until the line fits,
+    # warmup_failures is the one unbounded optional field (the full
+    # 106-key surface's short keys alone are ~800 chars): shrink it
+    # until the line fits,
     # keeping an overflow marker with the true count — a run where
     # warm-ups fail en masse is catastrophically unhealthy and the
     # count says so; the leading names still identify the victims.
@@ -162,6 +165,21 @@ def build_bench_line(timings: dict[str, float], sf: str,
     if len(line) >= 1900:
         raise RuntimeError(f"bench JSON line too long ({len(line)})")
     return line
+
+
+def build_detail(line: str, timings: dict[str, float],
+                 warmup_failures: tuple[str, ...] = ()) -> dict:
+    """BENCH_DETAIL.json payload: the stdout line's fields with
+    FULL-NAME timings, and — unlike the tail-buffer-constrained line —
+    the FULL warmup-failure names. In a mass warm-up failure the
+    stdout line truncates to short-key prefixes + an overflow marker
+    (or a bare count); the detail file has no length constraint and is
+    the durable artifact, so it must preserve the victims' names
+    (r14 review)."""
+    detail = {**json.loads(line), "queries": timings}
+    if warmup_failures:
+        detail["warmup_failures"] = sorted(set(warmup_failures))
+    return detail
 
 
 def main() -> None:
@@ -247,7 +265,17 @@ def main() -> None:
         # exception stringifies with its full Java stack; printed raw it
         # scrolled the query name out of the driver's ~2000-char tail
         # buffer (BENCH_r13's anonymous trace — VERDICT r13 item 2).
+        # For Py4JJavaError that first line is only the generic wrapper
+        # ("An error occurred while calling o123.collect") — append the
+        # Java root cause's own first line so the record says WHY, not
+        # just where.
         first = str(exc).splitlines()[0][:200] if str(exc) else ""
+        java = getattr(exc, "java_exception", None)
+        if java is not None:
+            try:
+                first += " <- " + str(java).splitlines()[0][:200]
+            except Exception:
+                pass  # cause attribution is best-effort
         print(f"warmup {name} failed: {type(exc).__name__}: {first}",
               file=sys.stderr)
         warmup_failures.append(name)
@@ -262,7 +290,7 @@ def main() -> None:
     line = build_bench_line(timings, sf, degraded=tuple(degraded),
                             warmup_failures=tuple(warmup_failures))
     # full-name detail for humans; stdout line is the driver contract
-    detail = {**json.loads(line), "queries": timings}
+    detail = build_detail(line, timings, tuple(warmup_failures))
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -119,6 +119,18 @@ FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
 """
 
 
+def _as_media(docs: DataFrame) -> DataFrame:
+    """documents -> bare (media_id, payload) rows for the dedup
+    family — the two-column flavor of :func:`_media` (no metadata
+    columns, so the dedup plans scan only what they use). One
+    definition site: mm04/mm05/mm06 all project through here, so a
+    change to the media fixture shape has one edit, not three."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
 def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mm04 (r14): byte-block fingerprint near-dup over binary media
     payloads — the multimodal family's first-class dedup operator
@@ -134,10 +146,7 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _tables(spark, sf_dir)
     base = _mutated_docs(t["documents"])
-    media = base.select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
+    media = _as_media(base)
     return M.media_near_dup_pairs(
         media, block_bytes=24, bands=2, rows_per_band=2,
         threshold=0.5, max_bucket=64,
@@ -205,10 +214,7 @@ def q_media_cdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     base = docs.select("doc_id", "text").unionAll(inserted)
-    media = base.select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
+    media = _as_media(base)
     return M.media_cdc_near_dup_pairs(
         media, cut_nibble="7", bands=2, rows_per_band=2,
         threshold=0.5, max_bucket=64,
@@ -285,12 +291,8 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _tables(spark, sf_dir)
     docs = t["documents"]
-    as_media = lambda d: d.select(  # noqa: E731
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    old = as_media(docs)
-    new = as_media(
+    old = _as_media(docs)
+    new = _as_media(
         _mutated_docs(docs).filter(F.col("doc_id") >= 1000000))
     root = _scratch.new_scratch(_MM06_DIRS, "mm06_index_")
     M.media_block_index(old, block_bytes=24, bands=2, rows_per_band=2) \

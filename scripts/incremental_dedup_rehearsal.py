@@ -50,30 +50,22 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from rehearsal_common import (  # noqa: E402
+    MUTANT_OFFSET,
+    check_marker,
+    planted_pairs,
+    planted_seeds,
+    synth_docs,
+    write_marker,
+)
+
 # env-overridable so smoke runs can coexist with a standing 5M scratch
 SCRATCH = os.environ.get("INCDEDUP_SCRATCH", "/tmp/incdedup_rehearsal")
-MUTANT_OFFSET = 10_000_000_000
-VOCAB = 50_000
-DOC_TOKENS = 30
 MUTATE_POS = 15  # one mid-doc token -> J3 = 25/31 ~= 0.806
-
-
-def _token(prefix: str, vid_col, j: int):
-    h = F.xxhash64(F.concat(F.lit(prefix), vid_col.cast("string"),
-                            F.lit(f":{j}")))
-    return F.concat(F.lit("t"), F.pmod(h, F.lit(VOCAB)).cast("string"))
-
-
-def _docs(spark, prefix: str, start: int, n: int):
-    return spark.range(start, start + n, 1, 32).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(
-            " ", *[_token(prefix, F.col("id"), j)
-                   for j in range(DOC_TOKENS)]).alias("text"),
-    )
 
 
 def main() -> None:
@@ -92,8 +84,8 @@ def main() -> None:
     arms = (sys.argv[4] if len(sys.argv) > 4 else "BPF").upper()
     spark = get_spark(master="local[32]", shuffle_partitions=32)
 
-    seeds = [k * (n_old // k_mut) + 3 for k in range(k_mut)]
-    planted = [(s, s + MUTANT_OFFSET) for s in seeds]
+    seeds = planted_seeds(n_old, k_mut)
+    planted = planted_pairs(n_old, k_mut)
 
     # Re-synthesize only when the corpus is missing or the index is
     # being rebuilt (arms with B). A P- or F-only run REUSES the
@@ -101,16 +93,15 @@ def main() -> None:
     # recurring arms against a standing index (r13 review: the first
     # cut wiped SCRATCH unconditionally, so any arms subset with P
     # but not B crashed on the missing index). Reuse requires the
-    # SAME (N, M, K) as the run that wrote the scratch: seeds and
-    # planted pairs are derived from the CURRENT argv, so a mismatch
-    # would silently report recall against the wrong planted set
-    # (ADVICE r13) — the args marker below turns that into a refusal.
-    marker = f"{SCRATCH}/args_marker.txt"
-    stamp = f"{n_old} {m_new} {k_mut}"
+    # SAME (N, M, K) AND the same synthesis formula as the run that
+    # wrote the scratch: seeds and planted pairs are derived from the
+    # CURRENT argv through rehearsal_common, so a mismatch would
+    # silently report recall against the wrong planted set
+    # (ADVICE r13) — the shared args marker turns that into a refusal.
     if "B" in arms or not os.path.exists(f"{SCRATCH}/old"):
         if os.path.exists(SCRATCH):
             shutil.rmtree(SCRATCH)
-        old = _docs(spark, "o:", 0, n_old)
+        old = synth_docs(spark, "o:", 0, n_old)
         old.write.parquet(f"{SCRATCH}/old")
         old = spark.read.parquet(f"{SCRATCH}/old")
         seed_df = old.filter(F.col("doc_id").isin(seeds))
@@ -125,22 +116,14 @@ def main() -> None:
                 " ",
             ).alias("text"),
         )
-        fresh = _docs(spark, "f:", n_old + 1_000_000, m_new - k_mut)
+        fresh = synth_docs(spark, "f:", n_old + 1_000_000,
+                           m_new - k_mut)
         mutants.unionByName(fresh).write.parquet(f"{SCRATCH}/new")
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        write_marker(SCRATCH, n_old, m_new, k_mut)
     else:
-        # P/F-only run: refuse unless the standing scratch was written
-        # by these exact (N, M, K) — recall would otherwise be scored
-        # against a planted set the scratch does not contain
-        written = open(marker).read().strip() \
-            if os.path.exists(marker) else "<missing>"
-        if written != stamp:
-            raise SystemExit(
-                f"standing scratch at {SCRATCH} was synthesized with "
-                f"(n_old m_new k_mut)=({written}) but this run asks "
-                f"({stamp}) — re-run with arm B to rebuild, or pass "
-                "the original args")
+        check_marker(
+            SCRATCH, n_old, m_new, k_mut,
+            "Re-run with arm B to rebuild, or pass the original args.")
     if "P" in arms and "B" not in arms \
             and not os.path.exists(f"{SCRATCH}/index"):
         raise SystemExit(

@@ -13,7 +13,7 @@ Protocol (the incremental_dedup_rehearsal protocol, payload flavor):
   binary (the payloads are opaque bytes to the operator; using the
   shared synthesis keeps the corpora comparable across families).
 - NEW batch: M payloads = K TAIL-APPENDED copies of corpus seeds
-  (payload + a 26-byte trailer — the appended-metadata dup class the
+  (payload + a 25-byte trailer — the appended-metadata dup class the
   block fingerprint targets; offset-aligned blocks are prefix-stable
   so every complete block of the seed survives) + (M-K) fresh
   payloads from a disjoint token stream. Mutant ids sit 10^10 beyond
@@ -47,31 +47,30 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from rehearsal_common import (  # noqa: E402
+    MUTANT_OFFSET,
+    check_marker,
+    planted_pairs,
+    planted_seeds,
+    synth_docs,
+    write_marker,
+)
+
 SCRATCH = os.environ.get("MEDIA_REHEARSAL_SCRATCH", "/tmp/media_rehearsal")
-MUTANT_OFFSET = 10_000_000_000
-VOCAB = 50_000
-DOC_TOKENS = 30
 BLOCK_BYTES = 16
 TRAILER = "~trailer:edited-metadata~"  # 25 ASCII bytes
 
 
-def _token(prefix: str, vid_col, j: int):
-    h = F.xxhash64(F.concat(F.lit(prefix), vid_col.cast("string"),
-                            F.lit(f":{j}")))
-    return F.concat(F.lit("t"), F.pmod(h, F.lit(VOCAB)).cast("string"))
-
-
 def _payloads(spark, prefix: str, start: int, n: int):
-    return spark.range(start, start + n, 1, 32).select(
-        F.col("id").alias("media_id"),
-        F.concat_ws(
-            " ", *[_token(prefix, F.col("id"), j)
-                   for j in range(DOC_TOKENS)]
-        ).cast("binary").alias("payload"),
-    )
+    # the shared text synthesis cast to binary: payloads are opaque
+    # bytes to the operator, and sharing the device keeps the corpora
+    # comparable across the text/embedding/media families
+    return synth_docs(spark, prefix, start, n, id_name="media_id",
+                      text_name="payload", binary=True)
 
 
 def main() -> None:
@@ -92,11 +91,9 @@ def main() -> None:
     arms = (sys.argv[4] if len(sys.argv) > 4 else "BPF").upper()
     spark = get_spark(master="local[32]", shuffle_partitions=32)
 
-    seeds = [k * (n_old // k_mut) + 3 for k in range(k_mut)]
-    planted = [(s, s + MUTANT_OFFSET) for s in seeds]
+    seeds = planted_seeds(n_old, k_mut)
+    planted = planted_pairs(n_old, k_mut)
 
-    marker = f"{SCRATCH}/args_marker.txt"
-    stamp = f"{n_old} {m_new} {k_mut}"
     if "B" in arms or not os.path.exists(f"{SCRATCH}/old"):
         if os.path.exists(SCRATCH):
             shutil.rmtree(SCRATCH)
@@ -110,16 +107,11 @@ def main() -> None:
         )
         fresh = _payloads(spark, "f:", n_old + 1_000_000, m_new - k_mut)
         mutants.unionByName(fresh).write.parquet(f"{SCRATCH}/new")
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        write_marker(SCRATCH, n_old, m_new, k_mut)
     else:
-        written = open(marker).read().strip() \
-            if os.path.exists(marker) else "<missing>"
-        if written != stamp:
-            raise SystemExit(
-                f"standing scratch at {SCRATCH} was synthesized with "
-                f"({written}) but this run asks ({stamp}) — re-run "
-                "with arm B, or pass the original args")
+        check_marker(
+            SCRATCH, n_old, m_new, k_mut,
+            "Re-run with arm B, or pass the original args.")
     if "P" in arms and "B" not in arms \
             and not os.path.exists(f"{SCRATCH}/index"):
         raise SystemExit("arm P without B needs a standing index")

@@ -35,14 +35,17 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
+from rehearsal_common import (  # noqa: E402
+    check_marker,
+    planted_pairs,
+)
 
 # env-overridable so a smoke run can use its own scratch while a 5M
 # scratch stands (must point at an incremental_dedup_rehearsal
 # scratch written with the same override)
 SCRATCH = os.environ.get("INCDEDUP_SCRATCH", "/tmp/incdedup_rehearsal")
-MUTANT_OFFSET = 10_000_000_000
 
 
 def main() -> None:
@@ -56,22 +59,23 @@ def main() -> None:
     k_mut = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
-    marker = f"{SCRATCH}/args_marker.txt"
-    stamp = f"{n_old} {m_new} {k_mut}"
-    written = open(marker).read().strip() \
-        if os.path.exists(marker) else "<missing>"
-    if written != stamp or not os.path.exists(f"{SCRATCH}/index"):
+    # the marker (shared with the script that WROTE the scratch, incl.
+    # the synthesis-formula version) is what licenses deriving the
+    # planted set from THIS argv against THAT scratch
+    check_marker(
+        SCRATCH, n_old, m_new, k_mut,
+        f"Run incremental_dedup_rehearsal.py {n_old} {m_new} {k_mut} "
+        "B first.")
+    if not os.path.exists(f"{SCRATCH}/index"):
         raise SystemExit(
-            f"needs the standing incremental_dedup_rehearsal scratch "
-            f"for ({stamp}) with its index — found ({written}). Run "
+            f"scratch at {SCRATCH} has no index — run "
             f"incremental_dedup_rehearsal.py {n_old} {m_new} {k_mut} B "
             "first.")
 
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     old = spark.read.parquet(f"{SCRATCH}/old")
     idx = spark.read.parquet(f"{SCRATCH}/index")
-    seeds = [k * (n_old // k_mut) + 3 for k in range(k_mut)]
-    planted = {(s, s + MUTANT_OFFSET) for s in seeds}
+    planted = set(planted_pairs(n_old, k_mut))
 
     # one parquet FILE per intended micro-batch: repartition
     # round-robins rows, so mutants spread across batches
@@ -87,13 +91,17 @@ def main() -> None:
     out = os.path.join(root, "out")
 
     def _probe(batch_df, batch_id: int) -> None:
+        # row count OUTSIDE the timed span: the wall is the
+        # probe+sink cost a deployment pays per batch, and count()
+        # is an extra job re-reading the batch's source file that a
+        # deployment would not run (r14 review)
+        n_rows = batch_df.count()
         t0 = time.monotonic()
         pairs = lsh_incremental_pairs(
             batch_df, old, shingle=3, threshold=0.5, max_bucket=64,
             index=idx)
         pairs.write.mode("overwrite").parquet(
             os.path.join(out, f"b{batch_id}"))
-        n_rows = batch_df.count()
         walls.append((int(batch_id), time.monotonic() - t0, n_rows))
         print(f"  [batch {batch_id}] rows={n_rows} "
               f"wall={walls[-1][1]:.1f}s", flush=True)

@@ -211,3 +211,20 @@ def test_bench_line_fits_driver_tail_buffer():
     # same contract as degraded)
     clean = json.loads(build_bench_line({n: 1.0 for n in names}, "0.1"))
     assert "warmup_failures" not in clean and "degraded" not in clean
+    # the DETAIL payload (BENCH_DETAIL.json) restores what the
+    # tail-buffer constraint truncated: full-name timings and the
+    # FULL warmup-failure names even in the mass-failure case where
+    # the stdout line degraded to prefixes+marker (r14 review)
+    from bench import build_detail
+
+    detail = build_detail(realistic_line := build_bench_line(
+        {n: 1.0 for n in names}, "0.1", warmup_failures=tuple(names)),
+        {n: 1.0 for n in names}, tuple(names))
+    assert json.loads(realistic_line)["warmup_failures"][-1].endswith(
+        "more")
+    assert detail["warmup_failures"] == sorted(names)
+    assert set(detail["queries"]) == set(names)
+    clean_detail = build_detail(clean_line := build_bench_line(
+        {n: 1.0 for n in names}, "0.1"), {n: 1.0 for n in names})
+    assert "warmup_failures" not in clean_detail
+    assert json.loads(clean_line)["value"] == clean_detail["value"]
