@@ -125,7 +125,7 @@ _R14_RIDERS = frozenset(
 # driver seat r15+). Not riders — they had no r13 existence to miss.
 _R14_DEBUTS = frozenset(
     ["mm04_media_near_dup", "mm05_media_cdc_near_dup",
-     "mm06_media_incremental_dedup"]
+     "mm06_media_incremental_dedup", "st10_stream_absorbing_dedup"]
 )
 
 # r13 window kept for the structural rider-set assertion (VERDICT r13

@@ -1392,6 +1392,54 @@ def lsh_incremental_pairs(
         verify_docs, cand, shingle=shingle, threshold=threshold)
 
 
+def lsh_index_absorb(
+    docs_new: DataFrame,
+    index_path: str,
+    corpus_path: str | None = None,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    shingle: int = 1,
+) -> None:
+    """ABSORB an ingest batch into the durable near-dup index — the
+    third leg of the incremental-dedup lifecycle (build → probe →
+    absorb). Appends the batch's :func:`lsh_build_index` band/bucket
+    rows into the standing ``partitionBy("band")`` parquet index, and
+    (when ``corpus_path`` is given) the batch's ``(doc_id, text)``
+    rows into the corpus table the verify step reads. After the
+    absorb, the NEXT batch's :func:`lsh_incremental_pairs` probe sees
+    this batch as part of "old" — new data dedups against corpus AND
+    all earlier ingest, without any operator ever re-shuffling either.
+
+    Caller contract (the foreachBatch shape, see the gated st10):
+    probe FIRST, absorb AFTER — the probe must see the index as of
+    before this batch, or the batch's own rows alias its self-pairs.
+    Within-batch pairs are the batch's own
+    :func:`lsh_candidate_pairs` pass, not this function's concern.
+
+    Geometry is the caller's to keep constant: appended rows MUST use
+    the same (bands, rows_per_band, shingle) as the standing index —
+    a mismatched append poisons the table silently (the ``r*`` column
+    check in the probe only sees the merged schema). At 100 TB the
+    practical concerns are the ones any append-mostly table has, not
+    new ones: per-batch appends create one small file per band per
+    batch, so compact periodically (rewrite one ``band=`` partition
+    at a time — the partitioning makes compaction embarrassingly
+    parallel and probe-transparent), and the probe's ``max(band)``
+    geometry aggregate stays O(metadata). The corpus append is plain
+    row data; the probe's verify only ever reads it pruned to
+    suspected ids, so corpus file count affects listing, not scan.
+    """
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError("bands and rows_per_band must be >= 1")
+    lsh_build_index(
+        docs_new, bands=bands, rows_per_band=rows_per_band,
+        shingle=shingle,
+    ).write.mode("append").partitionBy("band").parquet(index_path)
+    if corpus_path is not None:
+        docs_new.select("doc_id", "text").write.mode("append") \
+            .parquet(corpus_path)
+
+
 def containment_pairs(
     docs: DataFrame,
     candidates: DataFrame,

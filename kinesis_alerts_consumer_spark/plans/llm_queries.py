@@ -1601,6 +1601,55 @@ def incremental_near_dup_sql(newdocs_cte: str) -> str:
     return incremental_pairs_sql(newdocs_cte)
 
 
+def absorbing_pairs_sql(newdocs_cte: str, tokens_of=None) -> str:
+    """Oracle template for the ABSORBING dedup shape (st10): every
+    near-dup pair with at least one NEW member — the new-vs-old probe
+    part (OLD-side HAVING cap, exactly :func:`incremental_pairs_sql`)
+    UNIONed with the new-vs-new self part (NEW-side HAVING cap, the
+    llm03 recipe restricted to the batch). Shares the
+    token/minhash/band CTEs between the two parts so the recipe stays
+    one edit site. Models a SINGLE absorbed batch — with multiple
+    batches the caps become chop-dependent (each batch's probe caps
+    against the index AS OF that batch), which is why the gated st10
+    pins one batch and the multi-batch invariance is pinned in pytest
+    on a never-capping fixture instead."""
+    tokens_of = tokens_of or _trigram_tokens_cte
+    return f"""
+WITH newdocs AS ({newdocs_cte}),
+sh_o AS ({tokens_of("documents")}),
+sh_n AS ({tokens_of("newdocs")}),
+sig_o AS (SELECT doc_id, {_duck_minhash(4)} FROM sh_o GROUP BY doc_id),
+sig_n AS (SELECT doc_id, {_duck_minhash(4)} FROM sh_n GROUP BY doc_id),
+bb_o AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_o
+         UNION ALL
+         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_o),
+bb_n AS (SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig_n
+         UNION ALL
+         SELECT doc_id, 1 AS band, mh2 AS r0, mh3 AS r1 FROM sig_n),
+keep_o AS (SELECT band, r0, r1 FROM bb_o GROUP BY band, r0, r1
+           HAVING COUNT(*) <= 64),
+keep_n AS (SELECT band, r0, r1 FROM bb_n GROUP BY band, r0, r1
+           HAVING COUNT(*) <= 64),
+cand AS (SELECT DISTINCT o.doc_id AS a, n.doc_id AS b
+         FROM bb_o o JOIN keep_o USING (band, r0, r1)
+                     JOIN bb_n n USING (band, r0, r1)
+         UNION
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bb_n l JOIN keep_n USING (band, r0, r1)
+                     JOIN bb_n r USING (band, r0, r1)
+         WHERE l.doc_id < r.doc_id),
+tok AS (SELECT DISTINCT doc_id, s FROM sh_o
+        UNION SELECT DISTINCT doc_id, s FROM sh_n),
+j AS (SELECT c.a, c.b,
+        (SELECT COUNT(*) FROM tok x JOIN tok y ON x.s = y.s
+          WHERE x.doc_id = c.a AND y.doc_id = c.b) AS inter,
+        (SELECT COUNT(DISTINCT s) FROM tok WHERE doc_id IN (c.a, c.b)) AS uni
+      FROM cand c)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j WHERE ROUND(CAST(inter AS DOUBLE) / uni, 6) >= 0.5 ORDER BY a, b
+"""
+
+
 SQL_INCREMENTAL_NEAR_DUP = incremental_near_dup_sql("""
   SELECT doc_id + 1000000 AS doc_id,
          CASE WHEN len(ws) > 2

@@ -583,6 +583,7 @@ _ST06_DIRS = _scratch.registry()
 _ST07_DIRS = _scratch.registry()
 _ST08_DIRS = _scratch.registry()
 _ST09_DIRS = _scratch.registry()
+_ST10_DIRS = _scratch.registry()
 
 # rotation + exit-time cleanup live in plans._scratch (one registry
 # mechanism for all plans modules — r13 review)
@@ -771,6 +772,149 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "b*")).orderBy("a", "b")
 
 
+def absorbing_dedup_step(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    idx_path: str,
+    corpus_path: str,
+    out_dir: str,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 64,
+) -> None:
+    """One micro-batch of the absorbing-dedup lifecycle (the
+    ``foreachBatch`` body of st10, module-level so pytest drives the
+    SAME code path through a multi-batch stream): probe the standing
+    index for near-dups vs corpus + every earlier batch, dedup
+    within the batch, sink the normalized union to
+    ``out_dir/b{batch_id}``, then absorb the batch into the index
+    and corpus tables. Pairs are sunk BEFORE the absorb — the probe
+    must see the pre-absorb state, or the batch's own rows alias its
+    within-batch pairs."""
+    import os
+
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        lsh_index_absorb,
+    )
+
+    # reads created HERE so each batch lists the index/corpus as of
+    # now (i.e. including every earlier batch's absorb)
+    corpus = spark.read.parquet(corpus_path)
+    idx = spark.read.parquet(idx_path)
+    probe = lsh_incremental_pairs(
+        batch_df, corpus, shingle=shingle, threshold=threshold,
+        max_bucket=max_bucket, index=idx)
+    cands = lsh_candidate_pairs(
+        batch_df, bands=bands, rows_per_band=rows_per_band,
+        shingle=shingle, max_bucket=max_bucket)
+    within = jaccard_pairs(batch_df, cands, shingle=shingle,
+                           threshold=threshold)
+    # normalize orientation: probe emits (earlier, newer), which
+    # across absorbed batches need not be (smaller, larger) id
+    pairs = probe.unionByName(within).select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        "jaccard",
+    )
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"b{batch_id}"))
+    lsh_index_absorb(batch_df, idx_path, corpus_path,
+                     bands=bands, rows_per_band=rows_per_band,
+                     shingle=shingle)
+
+
+def q_stream_absorbing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st10 (r14) — the GROWING-index streaming dedup: each
+    micro-batch (1) probes the durable index for near-dups against
+    the corpus AND every earlier batch
+    (:func:`~..operators.dedup.lsh_incremental_pairs`), (2) dedups
+    WITHIN itself (the batch's own
+    :func:`~..operators.dedup.lsh_candidate_pairs` + exact-Jaccard
+    verify — the pair class st09's static shape structurally cannot
+    emit), then (3) is ABSORBED into the index and corpus tables
+    (:func:`~..operators.dedup.lsh_index_absorb`), so the next batch
+    dedups against it too. This is the complete production ingest
+    lifecycle — build once, then probe+absorb per batch — and the
+    union of per-batch outputs is exactly "every near-dup pair with
+    at least one new member", however the stream is chopped, PROVIDED
+    no bucket cap fires (capping is chop-dependent: each probe caps
+    the index as of its batch; the stats lights announce when that is
+    in play). The gated run pins ONE batch (the new docs written as a
+    single parquet file, availableNow) so the capped form is
+    oracle-exact: probe part under the OLD-side cap, self part under
+    the NEW-side cap — ``absorbing_pairs_sql``. Multi-batch
+    invariance WITH absorb is pinned in pytest on a never-capping
+    fixture (tests/test_streaming.py).
+
+    Fixture: all docs replayed at +2,000,000 (exact copies of the
+    corpus → probe pairs at J=1.0) plus tail-chopped mutants of
+    doc_id<20 at +3,000,000 (st09's mutation device) — the mutants
+    near-dup BOTH their old original (probe part) and their
+    within-batch +2M copy (self part), so every pair class the
+    operator claims is present in the result. Absorb appends are not
+    replay-idempotent (a crashed-and-replayed batch would
+    double-append); a deployment sinks appends under batch-id-keyed
+    subpaths or a commit protocol — out of scope for the
+    availableNow gate, documented here for honesty."""
+    import os
+
+    from ..operators.dedup import lsh_build_index
+
+    configure(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    old = spark.read.parquet(path).select("doc_id", "text")
+    root = _new_scratch(_ST10_DIRS, "st10_absorb_")
+    idx_path = os.path.join(root, "index")
+    corpus_path = os.path.join(root, "corpus")
+    lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
+        .write.partitionBy("band").parquet(idx_path)
+    old.write.parquet(corpus_path)
+
+    # the new batch, written as ONE file so availableNow replays it
+    # as ONE deterministic micro-batch (the capped oracle models a
+    # single absorb step)
+    ws = F.split(F.col("text"), " ")
+    copies = old.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    mutants = old.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.when(F.size(ws) > 2,
+               F.concat_ws(" ", F.slice(ws, 1, F.size(ws) - 2)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    src = os.path.join(root, "src")
+    copies.unionByName(mutants).coalesce(1).write.parquet(src)
+
+    out = os.path.join(root, "out")
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        absorbing_dedup_step(
+            spark, batch_df, int(batch_id), idx_path, corpus_path,
+            out, bands=2, rows_per_band=2, shingle=3,
+            threshold=0.5, max_bucket=64)
+
+    stream = (
+        spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.read.parquet(os.path.join(out, "b*")).orderBy("a", "b")
+
+
 # the oracle is llm40's full-recompute template (shared so the
 # shingle/minhash/band recipe has ONE edit site — r13 review); only
 # the new-batch CTE differs: ALL docs remapped, first 20 mutated
@@ -783,6 +927,21 @@ SQL_STREAM_INCREMENTAL_DEDUP = incremental_near_dup_sql("""
               ELSE text END AS text
   FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
         FROM documents)""")
+
+# st10's oracle: the absorbing template (probe part + within-batch
+# part, each under its own side's cap) over the same replay device —
+# exact copies at +2M plus tail-chopped mutants of doc_id<20 at +3M
+from .llm_queries import absorbing_pairs_sql  # noqa: E402
+
+SQL_STREAM_ABSORBING_DEDUP = absorbing_pairs_sql("""
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         CASE WHEN len(ws) > 2
+              THEN array_to_string(ws[1:len(ws)-2], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 20)""")
 
 
 STREAMING_QUERIES: dict[str, tuple] = {
@@ -804,5 +963,11 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "st09_stream_incremental_dedup": (
         q_stream_incremental_dedup,
         SQL_STREAM_INCREMENTAL_DEDUP,
+    ),
+    # st10 debuts r14 outside the window (pytest oracle twin +
+    # three-SF matches in the debut commit; first driver seat r15+)
+    "st10_stream_absorbing_dedup": (
+        q_stream_absorbing_dedup,
+        SQL_STREAM_ABSORBING_DEDUP,
     ),
 }

@@ -17,10 +17,10 @@ import __spark_entry__ as entry
 def test_query_count_and_oracle_coverage():
     qs = entry.queries()
     osql = entry.oracle_sql()
-    # 106 = the 98-query r11 surface + llm39 (debuted r12) + llm40,
-    # llm41, llm42, st09 (debuted r13) + mm04/mm05/mm06 (debuted r14,
-    # outside the window per the rotation plan)
-    assert len(qs) == 106
+    # 107 = the 98-query r11 surface + llm39 (debuted r12) + llm40,
+    # llm41, llm42, st09 (debuted r13) + mm04/mm05/mm06/st10 (debuted
+    # r14, outside the window per the rotation plan)
+    assert len(qs) == 107
     # every oracle key is a query; only the two approximate aggregates
     # are rows-only
     assert set(osql) <= set(qs)

@@ -776,7 +776,8 @@ def test_st05_st06_st09_oracle_twin_smoke(spark, duck):
     from .comparison import assert_frames_match
 
     for name in ("st05_stream_kayvee_pipeline", "st06_stream_volume_rollup",
-                 "st09_stream_incremental_dedup"):
+                 "st09_stream_incremental_dedup",
+                 "st10_stream_absorbing_dedup"):
         fn, oracle = STREAMING_QUERIES[name]
         assert_frames_match(fn(spark, SF_SMOKE), duck, oracle, name=name)
 
@@ -997,3 +998,122 @@ def test_st02_union_sources_carry_no_rate_limit():
                         "as late. Re-derive st02's sentinel plan "
                         "before rate-limiting these readers."
                     )
+
+
+def test_st10_absorbing_multi_batch_invariance(spark, tmp_path):
+    """The absorbing-dedup theorem st10's single-batch oracle cannot
+    see: with ABSORB after every probe, the union of per-batch
+    outputs equals the one-shot near-dup set restricted to pairs with
+    at least one new member, however the stream is chopped — and the
+    CROSS-BATCH pair class (a new doc near-dupping a doc from an
+    EARLIER batch) is present, which neither st09's static probe nor
+    the within-batch pass can emit. Never-capping fixture, so the
+    chop-dependence of capping (documented on the gated query) is out
+    of play and the equality is exact."""
+    import shutil
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_build_index,
+        lsh_candidate_pairs,
+    )
+    from kinesis_alerts_consumer_spark.plans.streaming_queries import (
+        absorbing_dedup_step,
+        _await,
+    )
+
+    def text_of(seed: str) -> str:
+        return " ".join(f"{seed}t{j}" for j in range(10))
+
+    def chopped(seed: str) -> str:
+        # drop the last 2 of 10 tokens: trigrams 8 vs 6, shared 6,
+        # J = 6/8 = 0.75 >= 0.5
+        return " ".join(f"{seed}t{j}" for j in range(8))
+
+    old_rows = [(i, text_of(f"c{i}")) for i in range(30)]
+    batches = [
+        # b0: an exact copy of corpus doc 3, plus a fresh doc
+        [(1000, text_of("c3")), (1001, text_of("n1"))],
+        # b1: near-dup of the EARLIER batch's fresh doc (cross-batch)
+        [(1002, chopped("n1"))],
+        # b2: a within-batch pair + a near-dup of corpus doc 7
+        [(1003, text_of("n3")), (1004, chopped("n3")),
+         (1005, chopped("c7"))],
+    ]
+
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    root = str(tmp_path)
+    idx_path = os.path.join(root, "index")
+    corpus_path = os.path.join(root, "corpus")
+    lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
+        .write.partitionBy("band").parquet(idx_path)
+    old.write.parquet(corpus_path)
+
+    # one parquet FILE per intended micro-batch
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = os.path.join(root, f"part{i}")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(part)
+        pf = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(pf) == 1
+        shutil.copy(os.path.join(part, pf[0]),
+                    os.path.join(src, f"{i}.parquet"))
+
+    out = os.path.join(root, "out")
+
+    def _step(batch_df, batch_id):
+        absorbing_dedup_step(
+            spark, batch_df, int(batch_id), idx_path, corpus_path,
+            out, bands=2, rows_per_band=2, shingle=3,
+            threshold=0.5, max_bucket=64)
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_step)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    # the stream really was chopped: one output dir per micro-batch
+    assert sorted(os.listdir(out)) == ["b0", "b1", "b2"]
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in spark.read.parquet(
+            os.path.join(out, "b*")).collect()
+    }
+
+    # one-shot reference: full near-dup over old ∪ all-new, pairs
+    # with at least one new member (ids >= 1000)
+    allnew = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string")
+    everything = old.unionByName(allnew)
+    ref_cands = lsh_candidate_pairs(
+        everything, bands=2, rows_per_band=2, shingle=3,
+        max_bucket=None)
+    ref = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_pairs(
+            everything, ref_cands, shingle=3, threshold=0.5).collect()
+        if r["b"] >= 1000
+    }
+    assert got == ref
+    # the absorb-only pair class is present: 1001 (batch 0) paired
+    # with 1002 (batch 1) — cross-batch, neither member in the corpus
+    assert (1001, 1002, 0.75) in got
+    # and every planted class arrived
+    assert (3, 1000, 1.0) in got and (1003, 1004, 0.75) in got
+    assert (7, 1005, 0.75) in got
+
+    # absorb really grew the durable artifacts: every new doc's band
+    # rows are in the index, and the corpus carries old + new
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(idx_path)
+               .select("doc_id").distinct().collect()}
+    assert {r[0] for b in batches for r in b} <= idx_ids
+    assert spark.read.parquet(corpus_path).count() == 36
