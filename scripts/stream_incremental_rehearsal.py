@@ -21,10 +21,26 @@ and sinks each batch to its own ``b{id}`` subdir (replay-idempotent,
 st09's device). Per-batch walls are measured INSIDE foreachBatch
 around probe+sink — the recurring per-batch cost a deployment pays.
 
+MODE=absorb (argv[5], r14) runs the st10 ABSORBING shape instead:
+each batch goes through ``absorbing_dedup_step`` — probe + within-
+batch dedup + sink, then the batch is absorbed into the index and
+corpus — so batch k also dedups against batches 0..k-1 and the index
+GROWS during the run. The standing scratch is never mutated: the
+run hardlink-copies the index/corpus dirs first (parquet files are
+immutable; appends only add files), so a 5M index "copy" costs
+directory metadata, not data movement. The claims measured: (a)
+per-batch wall stays flat while the index grows (each batch adds
+~M/NBATCH docs to a corpus of N — invisible in the scan); (b) the
+absorb adds a bounded per-batch constant (the batch's own signature
+pass again, plus two small appends); (c) planted recall matches the
+probe mode (the planted pairs are all new-vs-OLD, so growing the
+index must not change them); (d) index file count grows by exactly
+bands x batches (the small-files compaction argument, quantified).
+
 Usage:
-    python scripts/stream_incremental_rehearsal.py [N [M [K [NBATCH]]]]
-Defaults: 5_000_000 20_000 100 5. Results recorded in BASELINE.md
-round-14.
+    python scripts/stream_incremental_rehearsal.py [N [M [K [NBATCH [MODE]]]]]
+Defaults: 5_000_000 20_000 100 5 probe. Results recorded in
+BASELINE.md round-14.
 """
 
 from __future__ import annotations
@@ -58,6 +74,9 @@ def main() -> None:
     m_new = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     k_mut = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    mode = (sys.argv[5] if len(sys.argv) > 5 else "probe").lower()
+    if mode not in ("probe", "absorb"):
+        raise SystemExit(f"MODE must be probe|absorb, got {mode!r}")
 
     # the marker (shared with the script that WROTE the scratch, incl.
     # the synthesis-formula version) is what licenses deriving the
@@ -90,6 +109,36 @@ def main() -> None:
     walls: list[tuple[int, float, int]] = []
     out = os.path.join(root, "out")
 
+    idx_files_before = idx_files_after = 0
+    if mode == "absorb":
+        from kinesis_alerts_consumer_spark.plans.streaming_queries import (
+            absorbing_dedup_step,
+        )
+
+        # hardlink-copy the scratch index/corpus: parquet files are
+        # immutable and absorb only ADDS files, so the standing
+        # scratch is never mutated and the "copy" is metadata-only
+        run_idx = os.path.join(root, "index")
+        run_corpus = os.path.join(root, "corpus")
+        shutil.copytree(f"{SCRATCH}/index", run_idx,
+                        copy_function=os.link)
+        shutil.copytree(f"{SCRATCH}/old", run_corpus,
+                        copy_function=os.link)
+
+        def _count_parquet(d: str) -> int:
+            return sum(f.endswith(".parquet")
+                       for _, _, fs in os.walk(d) for f in fs)
+
+        idx_files_before = _count_parquet(run_idx)
+        # geometry from the index itself (the probe's own contract)
+        rows_g = sum(c.startswith("r") and c[1:].isdigit()
+                     for c in idx.columns)
+        from pyspark.sql import functions as F
+        bands_g = int(
+            idx.agg(F.max("band").alias("m")).collect()[0]["m"]) + 1
+        print(f"absorb mode: geometry=({bands_g},{rows_g}), "
+              f"index files before={idx_files_before}", flush=True)
+
     def _probe(batch_df, batch_id: int) -> None:
         # row count OUTSIDE the timed span: the wall is the
         # probe+sink cost a deployment pays per batch, and count()
@@ -97,11 +146,17 @@ def main() -> None:
         # deployment would not run (r14 review)
         n_rows = batch_df.count()
         t0 = time.monotonic()
-        pairs = lsh_incremental_pairs(
-            batch_df, old, shingle=3, threshold=0.5, max_bucket=64,
-            index=idx)
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id}"))
+        if mode == "absorb":
+            absorbing_dedup_step(
+                spark, batch_df, int(batch_id), run_idx, run_corpus,
+                out, bands=bands_g, rows_per_band=rows_g, shingle=3,
+                threshold=0.5, max_bucket=64)
+        else:
+            pairs = lsh_incremental_pairs(
+                batch_df, old, shingle=3, threshold=0.5,
+                max_bucket=64, index=idx)
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id}"))
         walls.append((int(batch_id), time.monotonic() - t0, n_rows))
         print(f"  [batch {batch_id}] rows={n_rows} "
               f"wall={walls[-1][1]:.1f}s", flush=True)
@@ -139,7 +194,14 @@ def main() -> None:
           f"max={max(steady):.1f}s "
           f"spread={max(steady) / min(steady):.2f}x")
     print(f"pairs={len(pairs)} planted_recall={recall}/{k_mut} "
-          f"stream_total={total:.1f}s")
+          f"stream_total={total:.1f}s mode={mode}")
+    if mode == "absorb":
+        idx_files_after = _count_parquet(run_idx)
+        corpus_rows = spark.read.parquet(run_corpus).count()
+        print(f"index files {idx_files_before} -> {idx_files_after} "
+              f"(+{idx_files_after - idx_files_before}; expect "
+              f"+bands x batches); corpus rows={corpus_rows} "
+              f"(expect {n_old + m_new})")
 
 
 if __name__ == "__main__":
