@@ -1220,6 +1220,7 @@ def lsh_incremental_pairs(
     max_bucket: int | None = 64,
     index: DataFrame | None = None,
     stats: dict | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of NEW documents against an EXISTING corpus —
     returns ``(a, b, jaccard)`` with ``a`` an old doc_id, ``b`` a new
@@ -1228,6 +1229,20 @@ def lsh_incremental_pairs(
     new-vs-new belongs to the batch's own :func:`lsh_candidate_pairs`
     pass. The incremental twin of llm22's exact digest anti-join, at
     near-dup (MinHash) granularity.
+
+    ``new_index`` accepts the NEW batch's own precomputed (and
+    persisted/checkpointed) :func:`lsh_build_index` table, skipping
+    the batch signature pass here — the absorbing lifecycle (st10)
+    computes it ONCE and feeds both the probe and
+    :func:`lsh_index_absorb`, instead of paying the minhash pass
+    twice per batch (the 5M absorb rehearsal measured the second
+    pass at ~10 s/batch). The caller owns geometry: it must be built
+    with the SAME (bands, rows_per_band, shingle) as the probe — the
+    ``r*`` column layout is validated against the old index's, but a
+    same-shape different-shingle table is undetectable here (the
+    same contract as ``shingle`` itself). When given, it is consumed
+    as-is: persist or checkpoint it first, or its lineage recomputes
+    per consumer (it is read 2-3x below).
 
     ``index`` accepts the prebuilt :func:`lsh_build_index` table and
     skips the old-corpus signature pass entirely — the scale API.
@@ -1327,16 +1342,27 @@ def lsh_incremental_pairs(
             docs_old, bands=bands, rows_per_band=rows_per_band,
             shingle=shingle)
     keys = ["band"] + [f"r{r}" for r in range(rows_per_band)]
-    new_idx = lsh_build_index(
-        docs_new, bands=bands, rows_per_band=rows_per_band,
-        shingle=shingle)
-    # the new batch's signature lineage is consumed 2-3x below (the
-    # matched-keys broadcast, the candidate-join broadcast, and the
-    # opt-in stats action) — checkpoint it once; it is tiny (batch
-    # rows x bands) and the llm03 counter-measurement (checkpoint
-    # defeating scan-side pruning) does not apply to a computed
-    # signature table with nothing left to prune
-    new_idx = new_idx.localCheckpoint(eager=True)
+    if new_index is not None:
+        got = sorted(c for c in new_index.columns
+                     if c.startswith("r") and c[1:].isdigit())
+        want = [f"r{r}" for r in range(rows_per_band)]
+        if got != want or "band" not in new_index.columns:
+            raise ValueError(
+                f"new_index row columns {got} do not match the probe "
+                f"geometry {want} — build it with lsh_build_index at "
+                "the same (bands, rows_per_band, shingle)")
+        new_idx = new_index
+    else:
+        new_idx = lsh_build_index(
+            docs_new, bands=bands, rows_per_band=rows_per_band,
+            shingle=shingle)
+        # the new batch's signature lineage is consumed 2-3x below
+        # (the matched-keys broadcast, the candidate-join broadcast,
+        # and the opt-in stats action) — checkpoint it once; it is
+        # tiny (batch rows x bands) and the llm03 counter-measurement
+        # (checkpoint defeating scan-side pruning) does not apply to
+        # a computed signature table with nothing left to prune
+        new_idx = new_idx.localCheckpoint(eager=True)
     if stats is not None:
         _new_skew_light(new_idx, keys, stats)
 
@@ -1399,6 +1425,7 @@ def lsh_index_absorb(
     bands: int = 2,
     rows_per_band: int = 2,
     shingle: int = 1,
+    index_rows: DataFrame | None = None,
 ) -> None:
     """ABSORB an ingest batch into the durable near-dup index — the
     third leg of the incremental-dedup lifecycle (build → probe →
@@ -1431,10 +1458,14 @@ def lsh_index_absorb(
     """
     if bands < 1 or rows_per_band < 1:
         raise ValueError("bands and rows_per_band must be >= 1")
-    lsh_build_index(
+    # ``index_rows``: the batch's band table when the caller already
+    # computed it for the probe (the absorbing lifecycle) — reusing
+    # it skips the second per-batch signature pass. Same geometry
+    # contract as the probe's ``new_index``.
+    rows = index_rows if index_rows is not None else lsh_build_index(
         docs_new, bands=bands, rows_per_band=rows_per_band,
-        shingle=shingle,
-    ).write.mode("append").partitionBy("band").parquet(index_path)
+        shingle=shingle)
+    rows.write.mode("append").partitionBy("band").parquet(index_path)
     if corpus_path is not None:
         docs_new.select("doc_id", "text").write.mode("append") \
             .parquet(corpus_path)

@@ -798,6 +798,7 @@ def absorbing_dedup_step(
 
     from ..operators.dedup import (
         jaccard_pairs,
+        lsh_build_index,
         lsh_candidate_pairs,
         lsh_incremental_pairs,
         lsh_index_absorb,
@@ -807,9 +808,15 @@ def absorbing_dedup_step(
     # now (i.e. including every earlier batch's absorb)
     corpus = spark.read.parquet(corpus_path)
     idx = spark.read.parquet(idx_path)
+    # the batch's band table, computed ONCE and fed to both the probe
+    # and the absorb — without this the lifecycle pays the batch
+    # signature pass twice per batch (~10 s at the 5M rehearsal)
+    batch_idx = lsh_build_index(
+        batch_df, bands=bands, rows_per_band=rows_per_band,
+        shingle=shingle).localCheckpoint(eager=True)
     probe = lsh_incremental_pairs(
         batch_df, corpus, shingle=shingle, threshold=threshold,
-        max_bucket=max_bucket, index=idx)
+        max_bucket=max_bucket, index=idx, new_index=batch_idx)
     cands = lsh_candidate_pairs(
         batch_df, bands=bands, rows_per_band=rows_per_band,
         shingle=shingle, max_bucket=max_bucket)
@@ -826,7 +833,7 @@ def absorbing_dedup_step(
         os.path.join(out_dir, f"b{batch_id}"))
     lsh_index_absorb(batch_df, idx_path, corpus_path,
                      bands=bands, rows_per_band=rows_per_band,
-                     shingle=shingle)
+                     shingle=shingle, index_rows=batch_idx)
 
 
 def q_stream_absorbing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
