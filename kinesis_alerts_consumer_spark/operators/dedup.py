@@ -1471,6 +1471,68 @@ def lsh_index_absorb(
             .parquet(corpus_path)
 
 
+def lsh_index_compact(
+    spark,
+    index_path: str,
+    bands: list[str] | None = None,
+    files_per_band: int = 1,
+) -> dict[str, tuple[int, int]]:
+    """Compact the absorbed index's small files — the maintenance op
+    the absorb lifecycle's file-growth math calls for
+    (:func:`lsh_index_absorb` adds one file per band per batch; the
+    5M rehearsal measured exactly +bands×batches). Each ``band=``
+    partition is compacted INDEPENDENTLY: read the partition dir
+    (the band value lives in the dir name, not the rows), coalesce
+    to ``files_per_band``, write to a staging dir next to it, then
+    swap the directory in two renames. Per-band independence is the
+    scale story: compaction is embarrassingly parallel across bands,
+    a maintenance window can do one band at a time, and a probe
+    racing the swap sees either the old or the new file set — both
+    contain identical rows. (The rename pair is not one atomic
+    operation; a deployment on object storage would use a
+    transactional table format's rewrite instead. This is the plain-
+    parquet form, matching the plain-parquet index.)
+
+    ``bands`` selects specific partition dir names (e.g.
+    ``["band=0"]``); None compacts all. Returns
+    ``{band_dir: (files_before, files_after)}`` for the partitions
+    actually rewritten; partitions already at or under
+    ``files_per_band`` are skipped (no needless rewrite)."""
+    import os
+    import shutil
+
+    if files_per_band < 1:
+        raise ValueError("files_per_band must be >= 1")
+    found = sorted(d for d in os.listdir(index_path)
+                   if d.startswith("band="))
+    if bands is not None:
+        missing = set(bands) - set(found)
+        if missing:
+            raise ValueError(
+                f"band partitions not in the index: {sorted(missing)}")
+        found = [d for d in found if d in bands]
+    out: dict[str, tuple[int, int]] = {}
+    for d in found:
+        part_dir = os.path.join(index_path, d)
+        n_before = sum(f.endswith(".parquet")
+                       for f in os.listdir(part_dir))
+        if n_before <= files_per_band:
+            continue
+        stage = os.path.join(index_path, f"_compacting_{d}")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)  # a previous crashed attempt
+        spark.read.parquet(part_dir).coalesce(files_per_band) \
+            .write.parquet(stage)
+        old = os.path.join(index_path, f"_retiring_{d}")
+        os.rename(part_dir, old)
+        os.rename(stage, part_dir)
+        shutil.rmtree(old)
+        n_after = sum(f.endswith(".parquet")
+                      for f in os.listdir(part_dir))
+        out[d] = (n_before, n_after)
+    return out
+
+
 def containment_pairs(
     docs: DataFrame,
     candidates: DataFrame,

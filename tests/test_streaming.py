@@ -1117,3 +1117,89 @@ def test_st10_absorbing_multi_batch_invariance(spark, tmp_path):
                .select("doc_id").distinct().collect()}
     assert {r[0] for b in batches for r in b} <= idx_ids
     assert spark.read.parquet(corpus_path).count() == 36
+
+
+def test_lsh_index_compact_preserves_probe(spark, tmp_path):
+    """The absorb lifecycle's maintenance op: absorbing batches grows
+    the index by one file per band per batch; compaction rewrites
+    each band partition independently down to one file with IDENTICAL
+    rows, so a probe through the compacted index returns exactly the
+    pre-compaction pairs. Also pins: selective bands= compaction,
+    the no-op skip for already-compact partitions, and the unknown-
+    partition raise."""
+    import pytest as _pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_build_index,
+        lsh_incremental_pairs,
+        lsh_index_absorb,
+        lsh_index_compact,
+    )
+
+    def text_of(seed: str) -> str:
+        return " ".join(f"{seed}t{j}" for j in range(10))
+
+    old_rows = [(i, text_of(f"c{i}")) for i in range(20)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    idx_path = str(tmp_path / "index")
+    corpus_path = str(tmp_path / "corpus")
+    lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
+        .write.partitionBy("band").parquet(idx_path)
+    old.write.parquet(corpus_path)
+
+    # absorb three small batches -> +1 file per band per batch
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(1000 + k, text_of(f"c{k}"))], "doc_id long, text string")
+        lsh_index_absorb(batch, idx_path, corpus_path,
+                         bands=2, rows_per_band=2, shingle=3)
+
+    def files_per_band():
+        return {
+            d: sum(f.endswith(".parquet")
+                   for f in os.listdir(os.path.join(idx_path, d)))
+            for d in sorted(os.listdir(idx_path))
+            if d.startswith("band=")
+        }
+
+    before_files = files_per_band()
+    assert all(n >= 4 for n in before_files.values())  # build + 3
+
+    probe_batch = spark.createDataFrame(
+        [(2000, text_of("c5"))], "doc_id long, text string")
+
+    def probe_pairs():
+        idx = spark.read.parquet(idx_path)
+        corpus = spark.read.parquet(corpus_path)
+        return {
+            (r["a"], r["b"], r["jaccard"])
+            for r in lsh_incremental_pairs(
+                probe_batch, corpus, shingle=3, threshold=0.5,
+                max_bucket=64, index=idx).collect()
+        }
+
+    rows_before = {
+        tuple(r) for r in spark.read.parquet(idx_path).collect()}
+    pairs_before = probe_pairs()
+    assert (5, 2000, 1.0) in pairs_before  # the planted exact copy
+
+    # selective compaction: one band only
+    stats = lsh_index_compact(spark, idx_path, bands=["band=0"])
+    assert set(stats) == {"band=0"} and stats["band=0"][1] == 1
+    assert files_per_band()["band=0"] == 1
+    assert files_per_band()["band=1"] == before_files["band=1"]
+
+    # full compaction: the remaining band; band=0 is skipped (no-op)
+    stats = lsh_index_compact(spark, idx_path)
+    assert set(stats) == {"band=1"} and stats["band=1"][1] == 1
+    assert all(n == 1 for n in files_per_band().values())
+
+    # identical rows, identical probe
+    rows_after = {
+        tuple(r) for r in spark.read.parquet(idx_path).collect()}
+    assert rows_after == rows_before
+    assert probe_pairs() == pairs_before
+
+    # unknown partition raises instead of silently compacting nothing
+    with _pytest.raises(ValueError, match="band=9"):
+        lsh_index_compact(spark, idx_path, bands=["band=9"])
