@@ -64,20 +64,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds stale by r15: dq03/04, dq06-dq31, kv06/07, llm14, llm24,
 # llm26-32, llm34, llm37, llm39, st03, st06-08, vol01, vol04) PLUS
 # the five r14 riders (dq01, dq02, ext03, mm03, llm16 — last driver
-# row r12, outside the trailing window by r15) PLUS the three r14
-# debutantes (mm04, mm05, mm06 — never driver-verified) = 56
-# candidates for 48 seats. Priority order: first the three debutantes
+# row r12, outside the trailing window by r15) PLUS the four r14
+# debutantes (mm04, mm05, mm06, st10 — never driver-verified) = 57
+# candidates for 48 seats. Priority order: first the four debutantes
 # (a never-driver-verified key outranks everything, the llm39/llm40
 # precedent), then the five r14 riders (a key must not ride the
-# substitute protocol two cycles running). Displace EIGHT stable
+# substitute protocol two cycles running). Displace NINE stable
 # r13-window keys (suggest dq03_window_topk, dq04_rollup,
 # dq06_tumbling_agg, dq07_intersect, dq08_semi_join,
-# dq10_exact_dedup_counts, dq11_anti_join, dq12_global_topk —
-# trivial declared-SQL plans, green every round since r1), covering
-# each via the substitute protocol as here (full-surface sf0.01
-# verify cited in the rotation commit; update the structural rider
-# assertion to _R14_WINDOW | _R15_WINDOW). Any query debuting in r14
-# rides outside the window with three-SF oracle twins until r15+.
+# dq10_exact_dedup_counts, dq11_anti_join, dq12_global_topk,
+# dq13_union_except — trivial declared-SQL plans, green every round
+# since r1), covering each via the substitute protocol as here
+# (full-surface sf0.01 verify cited in the rotation commit; update
+# the structural rider assertion to _R14_WINDOW | _R15_WINDOW). Any
+# query debuting in r14 rides outside the window with three-SF
+# oracle twins until r15+.
 _R14_WINDOW = frozenset(
     # priority seats: the five keys without a trailing-two-round row
     ["dq05_regex_extract", "llm40_incremental_near_dup",
