@@ -138,14 +138,32 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     docs: DataFrame,
-    bands: int = 2,
-    rows_per_band: int = 2,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     shingle: int = 1,
     max_bucket: int | None = 64,
     stats: dict | None = None,
     sizing: str | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
+
+    ``index`` accepts the docs' OWN prebuilt :func:`lsh_build_index`
+    band table and skips the signature pass entirely — ``docs`` is
+    then not scanned at all (candidates need only the band rows; the
+    exact-Jaccard verify that reads text is the caller's
+    :func:`jaccard_pairs` step). Two callers want this: the
+    absorbing lifecycle (st10), whose per-batch band table already
+    exists for the probe and the absorb — without it the within-batch
+    pass was the THIRD signature computation per batch (r14 review) —
+    and any corpus whose index is a standing artifact (the llm40
+    serving shape, self-dedup flavor). Geometry is the table's:
+    ``rows_per_band`` is derived from the ``r*`` columns and
+    ``bands`` from the geometry cache / one narrow ``max(band)``
+    aggregate; explicit arguments that mismatch raise (the
+    raise-on-mismatch contract), and ``sizing="auto"`` raises —
+    the table's geometry is already fixed. ``shingle`` is carried by
+    the build as always and is undetectable here.
 
     Signature of ``bands * rows_per_band`` minhashes; band value =
     struct of its rows. Self-join on (band_index, band_value) —
@@ -219,38 +237,73 @@ def lsh_candidate_pairs(
     viral bucket is 8 MB, survivable), which is the price of capping
     without a second aggregation pass.
     """
-    if sizing is not None:
-        if sizing != "auto":
-            raise ValueError(f"sizing must be None or 'auto', got {sizing!r}")
-        n_docs = int(
-            docs.agg(F.approx_count_distinct("doc_id").alias("n"))
-            .collect()[0]["n"]
+    if index is not None:
+        if sizing is not None:
+            raise ValueError(
+                "sizing cannot be combined with a prebuilt index — "
+                "the table's geometry is already fixed")
+        b_idx, r_idx = _minhash_index_geometry(index)
+        if bands is None:
+            bands = b_idx
+        elif bands != b_idx:
+            raise ValueError(
+                f"bands={bands} does not match the prebuilt index's "
+                f"{b_idx} bands — omit it (it is read from the index) "
+                f"or pass {b_idx}")
+        if rows_per_band is None:
+            rows_per_band = r_idx
+        elif rows_per_band != r_idx:
+            raise ValueError(
+                f"rows_per_band={rows_per_band} does not match the "
+                f"prebuilt index's {r_idx} row columns — omit it (it "
+                f"is read from the index) or pass {r_idx}")
+        # the flat band table re-shaped to the struct the member-list
+        # aggregation below groups on; ``docs`` is never scanned
+        banded = index.select(
+            "doc_id",
+            F.struct(
+                F.col("band").alias("band"),
+                *[F.col(f"r{r}").alias(f"r{r}")
+                  for r in range(rows_per_band)],
+            ).alias("bucket"),
         )
-        # 2σ HLL buffer (VERDICT r12 item 3): size for the estimate's
-        # upper confidence bound so an under-estimate cannot land the
-        # derivation one band short of the recall promise
-        bands, rows_per_band = suggest_lsh_sizing(
-            hll_buffered_count(n_docs),
-            max_bucket=max_bucket if max_bucket is not None else 64,
+    else:
+        bands = 2 if bands is None else bands
+        rows_per_band = 2 if rows_per_band is None else rows_per_band
+        if sizing is not None:
+            if sizing != "auto":
+                raise ValueError(
+                    f"sizing must be None or 'auto', got {sizing!r}")
+            n_docs = int(
+                docs.agg(F.approx_count_distinct("doc_id").alias("n"))
+                .collect()[0]["n"]
+            )
+            # 2σ HLL buffer (VERDICT r12 item 3): size for the
+            # estimate's upper confidence bound so an under-estimate
+            # cannot land the derivation one band short of the recall
+            # promise
+            bands, rows_per_band = suggest_lsh_sizing(
+                hll_buffered_count(n_docs),
+                max_bucket=max_bucket if max_bucket is not None else 64,
+            )
+            if stats is not None:
+                stats["bands"] = bands
+                stats["rows_per_band"] = rows_per_band
+                stats["n_docs_estimate"] = n_docs
+                stats["n_docs_sized_for"] = hll_buffered_count(n_docs)
+        k = bands * rows_per_band
+        sig = minhash_signatures(docs, num_hashes=k, shingle=shingle)
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
+                  for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
         )
-        if stats is not None:
-            stats["bands"] = bands
-            stats["rows_per_band"] = rows_per_band
-            stats["n_docs_estimate"] = n_docs
-            stats["n_docs_sized_for"] = hll_buffered_count(n_docs)
-    k = bands * rows_per_band
-    sig = minhash_signatures(docs, num_hashes=k, shingle=shingle)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
-              for r in range(rows_per_band)],
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
-    )
     # NOTE (r6 rehearsal): the plan consumes banded 4x (self-join
     # left/right + the over-cap profile per side) with no exchange
     # reuse across the broadcast subtrees. A localCheckpoint here was
@@ -507,6 +560,35 @@ _SIGNS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" 
 _INDEX_GEOM_CACHE: "weakref.WeakKeyDictionary[DataFrame, tuple[int, int]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _minhash_index_geometry(index: DataFrame) -> tuple[int, int]:
+    """(bands, rows_per_band) of a :func:`lsh_build_index` table —
+    rows from the ``r*`` schema columns (free; numeric sort key so
+    rows_per_band >= 11 is not mangled by lexicographic order),
+    bands from ``max(band)+1`` (one narrow metadata aggregate,
+    memoized per DataFrame OBJECT via ``_INDEX_GEOM_CACHE``, so a
+    per-micro-batch caller pays it once). Shared by every consumer
+    of a band table (``index=`` on the incremental probe and the
+    self-dedup pass, ``new_index=`` on the probe) so the validation
+    logic has ONE definition (r14 review #2/#3)."""
+    r_cols = sorted(
+        (c for c in index.columns
+         if c.startswith("r") and c[1:].isdigit()),
+        key=lambda c: int(c[1:]),
+    )
+    if not r_cols or "band" not in index.columns:
+        raise ValueError(
+            "prebuilt index must carry (doc_id, band, r0..r{k}) — "
+            "build it with lsh_build_index")
+    geom = _INDEX_GEOM_CACHE.get(index)
+    if geom is None:
+        row = index.agg(F.max("band").alias("mb")).collect()[0]
+        if row["mb"] is None:
+            raise ValueError("prebuilt index is empty — no band rows")
+        geom = (int(row["mb"]) + 1, len(r_cols))
+        _INDEX_GEOM_CACHE[index] = geom
+    return geom
 
 
 def _hyperplane_sign(band: int, bit: int, j: int) -> int:
@@ -1236,13 +1318,15 @@ def lsh_incremental_pairs(
     computes it ONCE and feeds both the probe and
     :func:`lsh_index_absorb`, instead of paying the minhash pass
     twice per batch (the 5M absorb rehearsal measured the second
-    pass at ~10 s/batch). The caller owns geometry: it must be built
-    with the SAME (bands, rows_per_band, shingle) as the probe — the
-    ``r*`` column layout is validated against the old index's, but a
-    same-shape different-shingle table is undetectable here (the
-    same contract as ``shingle`` itself). When given, it is consumed
-    as-is: persist or checkpoint it first, or its lineage recomputes
-    per consumer (it is read 2-3x below).
+    pass at ~10 s/batch). It must be built with the SAME
+    (bands, rows_per_band, shingle) as the probe: the ``r*`` column
+    layout AND the band count are validated against the probe
+    geometry (raise-on-mismatch, the index= contract — the band
+    count comes free from the build-site geometry cache, or one
+    narrow aggregate on the tiny batch table); ``shingle`` alone is
+    undetectable, as everywhere. When given, it is consumed as-is:
+    persist or checkpoint it first, or its lineage recomputes per
+    consumer (it is read 2-3x below).
 
     ``index`` accepts the prebuilt :func:`lsh_build_index` table and
     skips the old-corpus signature pass entirely — the scale API.
@@ -1299,16 +1383,7 @@ def lsh_incremental_pairs(
     signature pass.
     """
     if index is not None:
-        r_cols = sorted(
-            (c for c in index.columns if c.startswith("r")
-             and c[1:].isdigit()),
-            key=lambda c: int(c[1:]),
-        )
-        if not r_cols or "band" not in index.columns:
-            raise ValueError(
-                "prebuilt index must carry (doc_id, band, r0..r{k}) — "
-                "build it with lsh_build_index")
-        r_idx = len(r_cols)
+        b_idx, r_idx = _minhash_index_geometry(index)
         if rows_per_band is None:
             rows_per_band = r_idx
         elif rows_per_band != r_idx:
@@ -1316,17 +1391,6 @@ def lsh_incremental_pairs(
                 f"rows_per_band={rows_per_band} does not match the "
                 f"prebuilt index's {r_idx} row columns — omit it (it "
                 f"is read from the index) or pass {r_idx}")
-        # band count needs a metadata aggregate; memoize per index
-        # OBJECT so a per-micro-batch caller (st09) pays it once
-        geom = _INDEX_GEOM_CACHE.get(index)
-        if geom is None:
-            row = index.agg(F.max("band").alias("mb")).collect()[0]
-            if row["mb"] is None:
-                raise ValueError(
-                    "prebuilt index is empty — no band rows")
-            geom = (int(row["mb"]) + 1, r_idx)
-            _INDEX_GEOM_CACHE[index] = geom
-        b_idx = geom[0]
         if bands is None:
             bands = b_idx
         elif bands != b_idx:
@@ -1343,14 +1407,20 @@ def lsh_incremental_pairs(
             shingle=shingle)
     keys = ["band"] + [f"r{r}" for r in range(rows_per_band)]
     if new_index is not None:
-        got = sorted(c for c in new_index.columns
-                     if c.startswith("r") and c[1:].isdigit())
-        want = [f"r{r}" for r in range(rows_per_band)]
-        if got != want or "band" not in new_index.columns:
+        # full geometry check, same raise-on-mismatch contract as the
+        # index= path: same-width columns built at a different bands
+        # split the minhashes differently and lose recall SILENTLY
+        # (r14 review). Geometry comes free from the build-site cache
+        # when the caller passes the lsh_build_index result itself; a
+        # checkpointed/read-back table pays one narrow aggregate on
+        # the tiny batch table, memoized per object like the old side.
+        n_bands, n_rows = _minhash_index_geometry(new_index)
+        if (n_bands, n_rows) != (bands, rows_per_band):
             raise ValueError(
-                f"new_index row columns {got} do not match the probe "
-                f"geometry {want} — build it with lsh_build_index at "
-                "the same (bands, rows_per_band, shingle)")
+                f"new_index geometry ({n_bands}, {n_rows}) does not "
+                f"match the probe geometry ({bands}, {rows_per_band}) "
+                "— build it with lsh_build_index at the same "
+                "(bands, rows_per_band, shingle)")
         new_idx = new_index
     else:
         new_idx = lsh_build_index(
@@ -1485,13 +1555,32 @@ def lsh_index_compact(
     (the band value lives in the dir name, not the rows), coalesce
     to ``files_per_band``, write to a staging dir next to it, then
     swap the directory in two renames. Per-band independence is the
-    scale story: compaction is embarrassingly parallel across bands,
-    a maintenance window can do one band at a time, and a probe
-    racing the swap sees either the old or the new file set — both
-    contain identical rows. (The rename pair is not one atomic
-    operation; a deployment on object storage would use a
-    transactional table format's rewrite instead. This is the plain-
-    parquet form, matching the plain-parquet index.)
+    scale story: compaction is embarrassingly parallel across bands
+    and a maintenance window can do one band at a time.
+
+    NOT probe-concurrent: between the two renames the partition dir
+    is briefly ABSENT, so a probe listing the index in that instant
+    silently loses that band's candidates — run compaction when no
+    probe is running (the maintenance-window contract), or compact a
+    copy and switch paths. A deployment on object storage would use
+    a transactional table format's rewrite instead; this is the
+    plain-parquet form, matching the plain-parquet index.
+
+    Crash-SAFE, though: every intermediate state is self-repairing.
+    The staging (``_compacting_``) and retiring (``_retiring_``)
+    dirs are underscore-prefixed, which Spark's file listing ignores
+    — a crashed run never corrupts what a probe reads, it only
+    leaves repair work. On entry this function scans for leftovers
+    of a crashed run and completes or rolls back FIRST: retiring +
+    live partition present → finish deleting the retiring copy;
+    retiring + complete stage, no live partition (the mid-swap
+    crash) → promote the stage and delete the retiring copy;
+    retiring alone → restore it as the live partition; a stage
+    without a retiring dir → discard it (it may be half-written; the
+    live partition is still intact). (r14 review: the first cut
+    cleaned only the stage, so a mid-swap crash left the band's rows
+    stranded in a dir Spark ignores — silent recall loss with no
+    repair path.)
 
     ``bands`` selects specific partition dir names (e.g.
     ``["band=0"]``); None compacts all. Returns
@@ -1503,6 +1592,42 @@ def lsh_index_compact(
 
     if files_per_band < 1:
         raise ValueError("files_per_band must be >= 1")
+
+    def _swap(part_dir: str, stage: str, retiring: str) -> None:
+        # the swap order makes every crash point repairable: the
+        # stage is complete before the first rename, and _SUCCESS
+        # marks completeness for the recovery scan
+        os.rename(part_dir, retiring)
+        os.rename(stage, part_dir)
+        shutil.rmtree(retiring)
+
+    # recovery scan: repair any crashed previous run BEFORE listing
+    # partitions, so a mid-swap crash's absent partition reappears
+    for leftover in sorted(os.listdir(index_path)):
+        if leftover.startswith("_retiring_"):
+            d = leftover[len("_retiring_"):]
+            part_dir = os.path.join(index_path, d)
+            retiring = os.path.join(index_path, leftover)
+            stage = os.path.join(index_path, f"_compacting_{d}")
+            if os.path.exists(part_dir):
+                # crash after the second rename: swap completed
+                shutil.rmtree(retiring)
+            elif os.path.exists(stage) and os.path.exists(
+                    os.path.join(stage, "_SUCCESS")):
+                # crash between the renames: the stage is complete —
+                # promote it and retire the old copy
+                os.rename(stage, part_dir)
+                shutil.rmtree(retiring)
+            else:
+                # no usable stage: roll back to the pre-compact copy
+                os.rename(retiring, part_dir)
+        elif leftover.startswith("_compacting_"):
+            d = leftover[len("_compacting_"):]
+            if os.path.exists(os.path.join(index_path, d)):
+                # live partition intact: the stage is leftover (and
+                # possibly half-written) — discard it
+                shutil.rmtree(os.path.join(index_path, leftover))
+
     found = sorted(d for d in os.listdir(index_path)
                    if d.startswith("band="))
     if bands is not None:
@@ -1519,14 +1644,9 @@ def lsh_index_compact(
         if n_before <= files_per_band:
             continue
         stage = os.path.join(index_path, f"_compacting_{d}")
-        if os.path.exists(stage):
-            shutil.rmtree(stage)  # a previous crashed attempt
         spark.read.parquet(part_dir).coalesce(files_per_band) \
             .write.parquet(stage)
-        old = os.path.join(index_path, f"_retiring_{d}")
-        os.rename(part_dir, old)
-        os.rename(stage, part_dir)
-        shutil.rmtree(old)
+        _swap(part_dir, stage, os.path.join(index_path, f"_retiring_{d}"))
         n_after = sum(f.endswith(".parquet")
                       for f in os.listdir(part_dir))
         out[d] = (n_before, n_after)

@@ -808,18 +808,32 @@ def absorbing_dedup_step(
     # now (i.e. including every earlier batch's absorb)
     corpus = spark.read.parquet(corpus_path)
     idx = spark.read.parquet(idx_path)
-    # the batch's band table, computed ONCE and fed to both the probe
-    # and the absorb — without this the lifecycle pays the batch
-    # signature pass twice per batch (~10 s at the 5M rehearsal)
+    # the batch's band table, computed ONCE and fed to the probe,
+    # the within-batch pass, AND the absorb — without this the
+    # lifecycle paid the batch signature pass three times per batch
+    # (r14 reviews)
     batch_idx = lsh_build_index(
         batch_df, bands=bands, rows_per_band=rows_per_band,
         shingle=shingle).localCheckpoint(eager=True)
+    if not batch_idx.take(1):
+        # a degenerate batch (empty, or every doc shorter than the
+        # shingle) has no band rows: nothing can pair, and the
+        # geometry validators would (correctly) refuse an empty
+        # table — sink an empty result and still absorb the text so
+        # the corpus stays complete
+        spark.createDataFrame([], "a long, b long, jaccard double") \
+            .write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b{batch_id}"))
+        lsh_index_absorb(batch_df, idx_path, corpus_path,
+                         bands=bands, rows_per_band=rows_per_band,
+                         shingle=shingle, index_rows=batch_idx)
+        return
     probe = lsh_incremental_pairs(
         batch_df, corpus, shingle=shingle, threshold=threshold,
         max_bucket=max_bucket, index=idx, new_index=batch_idx)
     cands = lsh_candidate_pairs(
         batch_df, bands=bands, rows_per_band=rows_per_band,
-        shingle=shingle, max_bucket=max_bucket)
+        shingle=shingle, max_bucket=max_bucket, index=batch_idx)
     within = jaccard_pairs(batch_df, cands, shingle=shingle,
                            threshold=threshold)
     # normalize orientation: probe emits (earlier, newer), which
@@ -964,7 +978,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
         SQL_STREAM_DEDUP_WM,
     ),
     # st09 debuted r13 outside the window; seated in the r14 driver
-    # window. Pytest oracle twin: test_st05_st06_st09_oracle_twin_smoke
+    # window. Pytest oracle twin: test_streaming_oracle_twin_smoke
     # (added per ADVICE r13 — the claim was previously covered only by
     # the in-session full-surface verifies)
     "st09_stream_incremental_dedup": (

@@ -756,7 +756,7 @@ def test_checkpoint_recovery_chaos_exactly_once(spark, tmp_path):
     assert quar.count() == 1
 
 
-def test_st05_st06_st09_oracle_twin_smoke(spark, duck):
+def test_streaming_oracle_twin_smoke(spark, duck):
     """Out-of-window drift guard (VERDICT r6 item 5): st05/st06 ride
     shared helpers (`_await`, the scratch-dir registry) that can churn
     in rounds where neither query is in the driver's correctness
@@ -1203,3 +1203,125 @@ def test_lsh_index_compact_preserves_probe(spark, tmp_path):
     # unknown partition raises instead of silently compacting nothing
     with _pytest.raises(ValueError, match="band=9"):
         lsh_index_compact(spark, idx_path, bands=["band=9"])
+
+
+def test_lsh_index_compact_crash_recovery(spark, tmp_path):
+    """Every crash state of the two-rename swap self-repairs on the
+    next call (r14 review: the first cut cleaned only the staging
+    dir, so a mid-swap crash left a band's rows stranded in an
+    underscore dir Spark ignores — silent recall loss). Simulates
+    each state with real dirs and asserts the index rows after
+    recovery equal the pre-crash rows."""
+    import shutil
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_build_index,
+        lsh_index_compact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"c{i}t{j}" for j in range(10)))
+         for i in range(12)], "doc_id long, text string")
+    idx_path = str(tmp_path / "index")
+    lsh_build_index(docs, bands=2, rows_per_band=2, shingle=3) \
+        .write.partitionBy("band").parquet(idx_path)
+    want = {tuple(r) for r in spark.read.parquet(idx_path).collect()}
+    b0 = os.path.join(idx_path, "band=0")
+
+    # state A: crash between the renames — partition ABSENT, complete
+    # stage + retiring dir present. Recovery must promote the stage.
+    os.rename(b0, os.path.join(idx_path, "_retiring_band=0"))
+    shutil.copytree(os.path.join(idx_path, "_retiring_band=0"),
+                    os.path.join(idx_path, "_compacting_band=0"))
+    # the copied partition dir has no _SUCCESS (partitionBy writes it
+    # at the ROOT) — stamp one, as a completed stage write would have
+    open(os.path.join(idx_path, "_compacting_band=0", "_SUCCESS"),
+         "w").close()
+    lsh_index_compact(spark, idx_path)
+    assert {tuple(r) for r in
+            spark.read.parquet(idx_path).collect()} == want
+    assert not any(d.startswith("_retiring") or d.startswith("_compacting")
+                   for d in os.listdir(idx_path))
+
+    # state B: crash between the renames with NO usable stage —
+    # recovery must roll the retiring copy back.
+    os.rename(b0, os.path.join(idx_path, "_retiring_band=0"))
+    lsh_index_compact(spark, idx_path)
+    assert {tuple(r) for r in
+            spark.read.parquet(idx_path).collect()} == want
+
+    # state C: crash after the second rename — live partition AND
+    # retiring dir both present. Recovery must drop the retiring copy
+    # (keeping it would be a stale duplicate if ever promoted).
+    shutil.copytree(b0, os.path.join(idx_path, "_retiring_band=0"))
+    lsh_index_compact(spark, idx_path)
+    assert {tuple(r) for r in
+            spark.read.parquet(idx_path).collect()} == want
+    assert not any(d.startswith("_") and "band" in d
+                   for d in os.listdir(idx_path))
+
+    # state D: stale half-written stage beside an intact partition —
+    # discarded, partition untouched.
+    os.makedirs(os.path.join(idx_path, "_compacting_band=1"))
+    lsh_index_compact(spark, idx_path)
+    assert not os.path.exists(os.path.join(idx_path, "_compacting_band=1"))
+    assert {tuple(r) for r in
+            spark.read.parquet(idx_path).collect()} == want
+
+
+def test_band_table_geometry_contracts(spark):
+    """The r14 review's two geometry gaps, pinned: (a) a correct
+    new_index at rows_per_band >= 11 is ACCEPTED (the first cut's
+    lexicographic column sort rejected 'r10' < 'r2'); (b) a
+    new_index built at a DIFFERENT bands count raises instead of
+    silently losing recall (same-width columns, different minhash
+    split); (c) lsh_candidate_pairs(index=) returns the same
+    candidates as the inline path and raises on sizing= or explicit
+    geometry mismatch."""
+    import pytest as _pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_build_index,
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [(i, " ".join(f"c{i}t{j}" for j in range(10)))
+         for i in range(8)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1000, " ".join(f"c3t{j}" for j in range(10)))],
+        "doc_id long, text string")
+
+    # (a) rows_per_band=11: both sides at (1, 11) — accepted, runs
+    idx11 = lsh_build_index(old, bands=1, rows_per_band=11, shingle=3)
+    new11 = lsh_build_index(new, bands=1, rows_per_band=11, shingle=3) \
+        .localCheckpoint(eager=True)
+    got = lsh_incremental_pairs(
+        new, old, shingle=3, threshold=0.5, max_bucket=64,
+        index=idx11, new_index=new11).collect()
+    assert {(r.a, r.b) for r in got} == {(3, 1000)}
+
+    # (b) bands mismatch at identical column width raises
+    idx22 = lsh_build_index(old, bands=2, rows_per_band=2, shingle=3)
+    new42 = lsh_build_index(new, bands=4, rows_per_band=2, shingle=3) \
+        .localCheckpoint(eager=True)
+    with _pytest.raises(ValueError,
+                        match=r"geometry \(4, 2\) does not match"):
+        lsh_incremental_pairs(
+            new, old, shingle=3, threshold=0.5, max_bucket=64,
+            index=idx22, new_index=new42)
+
+    # (c) candidate pairs through the docs' own index == inline
+    both = old.unionByName(new)
+    both_idx = lsh_build_index(both, bands=2, rows_per_band=2,
+                               shingle=3).localCheckpoint(eager=True)
+    inline = {(r.a, r.b) for r in lsh_candidate_pairs(
+        both, bands=2, rows_per_band=2, shingle=3).collect()}
+    via_idx = {(r.a, r.b) for r in lsh_candidate_pairs(
+        both, shingle=3, index=both_idx).collect()}
+    assert via_idx == inline and (3, 1000) in via_idx
+    with _pytest.raises(ValueError, match="sizing"):
+        lsh_candidate_pairs(both, sizing="auto", index=both_idx)
+    with _pytest.raises(ValueError, match="does not match"):
+        lsh_candidate_pairs(both, bands=4, index=both_idx)
