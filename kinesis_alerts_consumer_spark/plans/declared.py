@@ -164,14 +164,34 @@ SELECT c_custkey,
        (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
 FROM customer ORDER BY c_custkey LIMIT 200
 """,
-    # window frame: bounded ROWS running aggregate
+    # window frame: bounded ROWS running aggregate. Exact integer
+    # arithmetic throughout (r14: the sf0.1 full-surface sweep
+    # caught the original ROUND(SUM/AVG(double)) form flipping one
+    # runavg cent — DuckDB's segment-tree window accumulation and
+    # Spark's running accumulation order double additions
+    # differently, and ROUND itself diverges on identical doubles
+    # whose shortest decimal print ends in 5: Spark rounds the
+    # BigDecimal.valueOf SHORTEST representation, 72.085 -> 72.09,
+    # DuckDB the binary value, 72.0849999... -> 72.08). value is
+    # exactly 2-decimal (verified: 0 rows where value*100 is >1e-6
+    # off an integer), so ROUND(value*100) -> BIGINT cents are EXACT
+    # in both engines, and the running average follows the
+    # containment_pairs ppm precedent — single IEEE
+    # multiply/divide/FLOOR of identical operands, bit-identical
+    # cross-engine, no ROUND anywhere after a division. runavg_c4 is
+    # the running mean in 1e-4 units of value.
     "dq21_window_frames": """
 SELECT event_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
-         AS run3,
-       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS runavg
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run3_cents,
+       CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) * 100 /
+           COUNT(*) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS runavg_c4
 FROM events ORDER BY event_id LIMIT 200
 """,
     # HAVING + count distinct
