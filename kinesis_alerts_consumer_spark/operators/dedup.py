@@ -735,6 +735,61 @@ def _infer_embedding_dim(emb: DataFrame) -> int:
     return int(row["d"]) if row["d"] is not None else 1
 
 
+def _spread_pairs(cands: DataFrame) -> DataFrame:
+    """Hash-repartition an (a, b) candidate-pair frame across the
+    cluster's cores before the exact-cosine verify (r14 optimization
+    round).
+
+    Why: everything downstream of the candidate exchange — the
+    ``.distinct()``, the verify's broadcast joins, and the
+    interpreted-HOF dot (~5 µs/pair) — is CPU-bound, but the pair
+    frame is tiny in BYTES (two ids per row), so AQE's byte-based
+    coalescing collapsed its exchange to ONE post-shuffle partition at
+    sf0.1 and llm39 burned 2 x ~1.6 s single-task stages while 31
+    cores idled. Placement matters: this repartition goes BEFORE the
+    ``.distinct()`` so it BECOMES the distinct's exchange (same keys →
+    the aggregate's distribution requirement is already satisfied and
+    no second exchange is planned) — placed after, the optimizer drops
+    it as redundant with the distinct's own (a, b) exchange, which AQE
+    then coalesces right back to 1. A user repartition with an
+    explicit count is exempt from AQE coalescing, (a, b) hashes
+    uniformly, and the verify joins are broadcasts, so the
+    partitioning survives into the scoring stage. Scale posture:
+    defaultParallelism tracks the cluster's cores (the same axis
+    ``spark.sql.shuffle.partitions`` is pinned to), so task
+    granularity follows the hardware rather than a local constant; the
+    shuffled bytes are the id pairs only, never embeddings.
+
+    A fast/slow alternative (route exactly-dim pairs to an unrolled
+    whole-stage-codegen dot) was measured FIRST and rejected: the
+    64-deep Add chain ran ~2x slower than the interpreted HOF (JIT
+    defeat), and the branch split doubled the stage count."""
+    sc = cands.sparkSession.sparkContext
+    return cands.repartition(sc.defaultParallelism, "a", "b")
+
+
+def _exact_cos_verify(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(a, b, cos >= threshold) from a joined candidate frame carrying
+    ``(a, b, _ea, _eb, _na, _nb)`` — the shared exact-cosine verify of
+    :func:`hyperplane_lsh_pairs` / :func:`hyperplane_incremental_pairs`.
+    A NULL/absent embedding yields NULL cos and is dropped by the
+    threshold filter; returned pair order is irrelevant (every gated
+    caller sorts; the operator contract is an unordered pair set)."""
+    from .similarity import dot
+
+    return (
+        pairs.select(
+            "a", "b",
+            F.round(
+                F.try_divide(dot(F.col("_ea"), F.col("_eb")),
+                             F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
 def _hyperplane_banded(
     emb: DataFrame,
     bands: int,
@@ -768,9 +823,31 @@ def _hyperplane_banded(
                   for b in range(bands) for r in range(bits_per_band)])
             for j in range(dim)
         ]
-        signs = spark.createDataFrame(
-            sign_rows, ", ".join(["pos int"] + [f"{c} int" for c in s_cols])
-        )
+        if dim * (n_bits + 1) <= 200_000:
+            # literal VALUES -> LocalRelation: the broadcast build runs
+            # driver-side with NO job at all. The createDataFrame form
+            # is a Python ParallelCollectionRDD, and every broadcast
+            # build of it launched a defaultParallelism-task stage
+            # whose tasks each blocked ~0.2 s on a Python worker
+            # round-trip — measured 7.6 s executorRunTime (0.35 s
+            # wall) PER RUN on llm39, twice per run on llm41 (r14
+            # optimization profiling). Literal count is bounded by the
+            # _check_hyperplane_sizing envelope at typical dims; the
+            # guard keeps a huge (dim x bits) sizing off the SQL
+            # parser and on the old pickle path instead.
+            values_sql = ", ".join(
+                "(" + ", ".join(str(v) for v in row) + ")"
+                for row in sign_rows
+            )
+            cols = ", ".join(["pos"] + s_cols)
+            signs = spark.sql(
+                f"SELECT * FROM VALUES {values_sql} AS hp({cols})"
+            )
+        else:
+            signs = spark.createDataFrame(
+                sign_rows,
+                ", ".join(["pos int"] + [f"{c} int" for c in s_cols]),
+            )
         per_session[cache_key] = signs
     # quantize to exact integer micros (llm30): integer sums commute,
     # so the groupBy needs no ordering contract and both engines
@@ -929,19 +1006,21 @@ def hyperplane_lsh_pairs(
     elif stats is not None:
         _zero_light(stats)
     cands = (
-        buckets.select(F.explode("_ids").alias("a"), "_ids")
-        .select("a", F.explode("_ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        _spread_pairs(
+            buckets.select(F.explode("_ids").alias("a"), "_ids")
+            .select("a", F.explode("_ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
         .distinct()
     )
     # Verify: norms precomputed ONCE per vector (they ride the join),
     # so each candidate pair pays one interpreted-HOF traversal (the
     # dot) instead of three — the pair side outnumbers the vector
-    # side by ~b*occupancy/2 (~100x on the gated fixture). Values are
-    # bit-identical to cosine(): same sequential dot, same
-    # sqrt/try_divide tree, evaluated per-vector instead of per-pair.
-    from .similarity import dot, norm
+    # side by ~b*occupancy/2 (~100x on the gated fixture). The pair
+    # frame is spread across cores first: its per-row verify cost is
+    # CPU, not bytes, and AQE's byte-based coalescing would otherwise
+    # run it on ONE task (_spread_pairs).
+    from .similarity import norm
 
     vecs = emb.select(
         F.col(id_col), F.col("embedding"),
@@ -949,23 +1028,13 @@ def hyperplane_lsh_pairs(
     )
     pairs = (
         cands.join(vecs.withColumnRenamed(id_col, "a")
-                   .withColumnRenamed("embedding", "_ea")
+              .withColumnRenamed("embedding", "_ea")
                    .withColumnRenamed("_n", "_na"), "a")
         .join(vecs.withColumnRenamed(id_col, "b")
               .withColumnRenamed("embedding", "_eb")
               .withColumnRenamed("_n", "_nb"), "b")
     )
-    return (
-        pairs.select(
-            "a", "b",
-            F.round(
-                F.try_divide(dot(F.col("_ea"), F.col("_eb")),
-                             F.col("_na") * F.col("_nb")),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-    )
+    return _exact_cos_verify(pairs, threshold)
 
 
 def hyperplane_build_index(
@@ -1140,14 +1209,15 @@ def hyperplane_incremental_pairs(
         _zero_light(stats)
 
     cand = (
-        old_matched.join(
-            F.broadcast(new_idx.withColumnRenamed(id_col, "_new_id")),
-            keys)
-        .select(F.col(id_col).alias("a"), F.col("_new_id").alias("b"))
+        _spread_pairs(
+            old_matched.join(
+                F.broadcast(new_idx.withColumnRenamed(id_col, "_new_id")),
+                keys)
+            .select(F.col(id_col).alias("a"), F.col("_new_id").alias("b")))
         .distinct()
     )
 
-    from .similarity import dot, norm
+    from .similarity import norm
 
     # broadcast the suspected-id sets when the cap bounds them (the
     # lsh_incremental_pairs lesson: an AQE-planned semi join can
@@ -1173,19 +1243,8 @@ def hyperplane_incremental_pairs(
         F.col("embedding").alias("_eb"),
         norm(F.col("embedding")).alias("_nb"),
     )
-    return (
-        cand.join(vecs_a, "a")
-        .join(vecs_b, "b")
-        .select(
-            "a", "b",
-            F.round(
-                F.try_divide(dot(F.col("_ea"), F.col("_eb")),
-                             F.col("_na") * F.col("_nb")),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-    )
+    return _exact_cos_verify(
+        cand.join(vecs_a, "a").join(vecs_b, "b"), threshold)
 
 
 def jaccard_pairs(
