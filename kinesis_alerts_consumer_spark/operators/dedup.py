@@ -323,10 +323,11 @@ def lsh_candidate_pairs(
     elif stats is not None:
         _zero_light(stats)
     return (
-        buckets.select(F.explode("_ids").alias("a"), "_ids")
-        .select("a", F.explode("_ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        _spread_pairs(
+            buckets.select(F.explode("_ids").alias("a"), "_ids")
+            .select("a", F.explode("_ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
         .distinct()
     )
 
@@ -1516,10 +1517,12 @@ def lsh_incremental_pairs(
     # candidate explosion: surviving old rows x the (broadcast) new
     # batch signatures in the same bucket
     cand = (
-        old_matched.join(
-            F.broadcast(new_idx.withColumnRenamed("doc_id", "_new_id")),
-            keys)
-        .select(F.col("doc_id").alias("a"), F.col("_new_id").alias("b"))
+        _spread_pairs(
+            old_matched.join(
+                F.broadcast(new_idx.withColumnRenamed("doc_id", "_new_id")),
+                keys)
+            .select(F.col("doc_id").alias("a"),
+                    F.col("_new_id").alias("b")))
         .distinct()
     )
 
@@ -2428,6 +2431,14 @@ def connected_components(
     ``stats``, if given, receives ``{"rounds": n}`` for convergence
     tests.
     """
+    # LAZY checkpoints throughout (r14 optimization round): every
+    # round is followed immediately by the checksum aggregate, so an
+    # eager checkpoint would pay a separate materialization job per
+    # round — with eager=False the checksum action itself materializes
+    # the checkpoint, halving the loop's job count (2R+2 -> R+1 jobs;
+    # llm15's wall is driver/job-overhead-bound, not data-bound, at
+    # fixture scale). Lineage truncation — the reason the checkpoints
+    # exist — is unchanged once the action runs.
     cur = (
         edges.select(
             F.greatest(F.col("a"), F.col("b")).alias("u"),
@@ -2435,7 +2446,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(df: DataFrame) -> tuple:
@@ -2449,7 +2460,7 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev:
             break
