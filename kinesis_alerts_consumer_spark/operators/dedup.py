@@ -1209,12 +1209,13 @@ def hyperplane_incremental_pairs(
     elif stats is not None:
         _zero_light(stats)
 
+    # NOT spread (_spread_pairs) — batch-bounded candidate set with
+    # 3 consumers; see lsh_incremental_pairs for the measurement.
     cand = (
-        _spread_pairs(
-            old_matched.join(
-                F.broadcast(new_idx.withColumnRenamed(id_col, "_new_id")),
-                keys)
-            .select(F.col(id_col).alias("a"), F.col("_new_id").alias("b")))
+        old_matched.join(
+            F.broadcast(new_idx.withColumnRenamed(id_col, "_new_id")),
+            keys)
+        .select(F.col(id_col).alias("a"), F.col("_new_id").alias("b"))
         .distinct()
     )
 
@@ -1516,13 +1517,16 @@ def lsh_incremental_pairs(
 
     # candidate explosion: surviving old rows x the (broadcast) new
     # batch signatures in the same bucket
+    # NOT spread (_spread_pairs) like the self-dedup family: the
+    # incremental candidate set is bounded by cap x batch-bucket size
+    # and consumed 3x below (verify + both id-set broadcasts), so the
+    # explicit repartition added 32-task micro-stages per consumer —
+    # measured +1.2 s on llm40 isolated vs the AQE-coalesced form.
     cand = (
-        _spread_pairs(
-            old_matched.join(
-                F.broadcast(new_idx.withColumnRenamed("doc_id", "_new_id")),
-                keys)
-            .select(F.col("doc_id").alias("a"),
-                    F.col("_new_id").alias("b")))
+        old_matched.join(
+            F.broadcast(new_idx.withColumnRenamed("doc_id", "_new_id")),
+            keys)
+        .select(F.col("doc_id").alias("a"), F.col("_new_id").alias("b"))
         .distinct()
     )
 

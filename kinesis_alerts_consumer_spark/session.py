@@ -48,8 +48,15 @@ RUNTIME_CONFS: dict[str, str] = {
 BUILD_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    # local[N] has no dynamic executors; bound shuffle fan-out to cores.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # local[N] has no dynamic executors; bound shuffle fan-out to
+    # cores. Tracks SPARK_GRAFT_CPUS (the bench's core count) so the
+    # driver's lower-core scaling runs don't pay 32 shuffle partitions
+    # on an 8-slot master (r14 optimization round); SPARK_GRAFT_SHUFFLE
+    # still overrides for explicit experiments, and deployments size
+    # this to cluster cores / AQE advisory bytes as usual.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE",
+        os.environ.get("SPARK_GRAFT_CPUS", "32")),
     # Whole-stage-codegen class cache (static conf, default 100
     # entries). A long-lived session running a many-query workload —
     # the 107-query bench suite here, a Thrift/Connect server or a
