@@ -1982,3 +1982,44 @@ def test_bloom_probe_rejects_colliding_input_columns(spark):
     for bad_flag in ("_w0", "_m1", "_word0"):
         with pytest.raises(ValueError, match="temp"):
             bloom_probe(fps, words, 64, 2, flag=bad_flag)
+
+
+def test_dot_inline_cast_bit_identical_to_reference_form(spark):
+    """similarity.dot moved the element cast INSIDE the zip_with
+    lambda (r14 optimization: drops two intermediate double-array
+    materializations per evaluation). Same element ops, same
+    sequential fold from 0.0 — results must be BIT-identical to the
+    old transform-then-zip reference form on every edge the operator
+    meets: ragged lengths (zip_with null-pads), NULL elements, empty
+    and NULL arrays, -0.0 and denormal-ish values."""
+    from pyspark.sql import functions as F
+
+    from kinesis_alerts_consumer_spark.operators.similarity import dot
+
+    def dot_reference(a, b):
+        d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+        return F.aggregate(
+            F.zip_with(d(a), d(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    rows = [
+        ([1.5, -2.25, 3.0], [4.0, 0.5, -1.0]),
+        ([-0.0, 1e-38, -1e38], [7.25, 3.5, 1.0]),
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),          # ragged: null-padded
+        ([], [1.0]),                              # empty vs non-empty
+        ([1.0, None, 3.0], [1.0, 1.0, 1.0]),      # NULL element
+        (None, [1.0]),                            # NULL array
+        ([0.1, 0.2, 0.3], [0.3, 0.2, 0.1]),       # inexact decimals
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = df.select(
+        dot(F.col("a"), F.col("b")).alias("new"),
+        dot_reference(F.col("a"), F.col("b")).alias("ref"),
+    ).collect()
+    import struct
+
+    for r in got:
+        pack = lambda v: struct.pack(">d", v) if v is not None else None  # noqa: E731
+        assert pack(r["new"]) == pack(r["ref"]), (r["new"], r["ref"])

@@ -278,3 +278,40 @@ def test_streaming_dedup_prunes_through_state_operator(spark):
     assert "props" not in plan, plan
     assert "user_id" not in plan, plan
     assert "value#" not in plan, plan
+
+
+def test_pair_verify_spread_survives_as_user_repartition(spark):
+    """The near-dup candidate pipelines (hyperplane + MinHash
+    self-dedup) must carry their pair frame through a USER repartition
+    on (a, b) sized to defaultParallelism, placed so it BECOMES the
+    distinct's exchange (r14 optimization): the pairs are bytes-tiny
+    but ~5 us/pair of CPU downstream, so AQE's byte-based coalescing
+    otherwise runs distinct + verify on ONE task. A REPARTITION_BY_NUM
+    exchange is exempt from AQE coalescing; its presence (and the
+    absence of a second (a, b) exchange for the distinct) is the whole
+    optimization."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        hyperplane_lsh_pairs,
+        lsh_candidate_pairs,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    t = register_tables(spark, SF_SMOKE)
+    p = spark.sparkContext.defaultParallelism
+    for df in (
+        hyperplane_lsh_pairs(
+            t["embeddings"].select("vec_id", "embedding"),
+            bands=2, bits_per_band=2, dim=8),
+        lsh_candidate_pairs(t["documents"], shingle=3),
+    ):
+        plan = _plan(df)
+        assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+        # exactly one (a, b)-keyed exchange: the user repartition IS
+        # the distinct's exchange (same keys satisfy its distribution)
+        ab_exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning(a#" in l and ", b#" in l
+        ]
+        assert len(ab_exchanges) == 1, ab_exchanges
+        assert f", {p})," in ab_exchanges[0] or f", {p})" in \
+            ab_exchanges[0], (p, ab_exchanges[0])
