@@ -764,9 +764,35 @@ def _spread_pairs(cands: DataFrame) -> DataFrame:
     A fast/slow alternative (route exactly-dim pairs to an unrolled
     whole-stage-codegen dot) was measured FIRST and rejected: the
     64-deep Add chain ran ~2x slower than the interpreted HOF (JIT
-    defeat), and the branch split doubled the stage count."""
-    sc = cands.sparkSession.sparkContext
-    return cands.repartition(sc.defaultParallelism, "a", "b")
+    defeat), and the branch split doubled the stage count.
+
+    Deployment posture (r15, ADVICE r14): honors the same
+    ``spark.graft.spreadForCompute=off`` kill-switch as
+    :func:`~.util.spread_for_compute` (one conf disables every forced
+    spread), and the partition count is
+    ``max(defaultParallelism, spark.sql.shuffle.partitions)`` rather
+    than bare plan-time defaultParallelism — a user REPARTITION_BY_NUM
+    is exempt from AQE re-splitting as well as coalescing, so on a
+    cluster whose shuffle partitions are sized above core count (the
+    100 TB posture) the pair exchange must follow that axis, and under
+    dynamic allocation (executors not yet registered at plan time)
+    defaultParallelism alone under-sizes."""
+    spark = cands.sparkSession
+    try:
+        if spark.conf.get("spark.graft.spreadForCompute", "auto") == "off":
+            return cands
+    except Exception:  # noqa: BLE001 — conf access never blocks the op
+        pass
+    try:
+        # no explicit default: Spark 4 VALIDATES a supplied default
+        # against the conf's requirement (a '0' placeholder throws
+        # INVALID_CONF_VALUE on a vanilla session); the no-default
+        # form resolves the session value (or Spark's own default)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf access never blocks the op
+        shuffle_n = 0
+    n = max(spark.sparkContext.defaultParallelism, shuffle_n)
+    return cands.repartition(n, "a", "b")
 
 
 def _exact_cos_verify(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -1095,6 +1121,7 @@ def hyperplane_incremental_pairs(
     index: DataFrame | None = None,
     stats: dict | None = None,
     id_col: str = "vec_id",
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs of a NEW batch against an EXISTING
     corpus — returns ``(a, b, cos)`` with ``a`` an old vec_id, ``b``
@@ -1127,7 +1154,19 @@ def hyperplane_incremental_pairs(
     precomputed per vector (the llm39 device). As with
     :func:`lsh_incremental_pairs`, the no-``index`` form builds the
     old index in-line and its lineage re-computes per consumer —
-    serve real traffic from a written (or persisted) index table."""
+    serve real traffic from a written (or persisted) index table.
+
+    ``new_index`` (r15) mirrors :func:`lsh_incremental_pairs`'s: the
+    NEW batch's own precomputed (and persisted/checkpointed)
+    :func:`hyperplane_build_index` table, skipping the batch
+    signature pass here — the job-overlap callers compute it on a
+    worker thread while the corpus index writes (guide §2.6). It must
+    be built with the SAME (bands, bits_per_band, dim); bands/bits
+    are validated raise-on-mismatch (free via the build-site geometry
+    cache, else one narrow aggregate on the tiny batch table); ``dim``
+    is undetectable, as everywhere. Consumed as-is — persist or
+    checkpoint it first (:func:`checkpoint_index`), or its lineage
+    recomputes per consumer."""
     if index is not None:
         if dim is None:
             raise ValueError(
@@ -1183,16 +1222,38 @@ def hyperplane_incremental_pairs(
     _check_hyperplane_sizing(bands, bits_per_band)
 
     keys = ["band", "bits"]
-    new_idx = _hyperplane_banded(
-        emb_new, bands, bits_per_band, dim, id_col
-    ).select(
-        F.col(id_col),
-        F.col("bucket.band").alias("band"),
-        F.col("bucket.bits").alias("bits"),
-    )
-    # the batch signature lineage feeds 2-3 consumers below — one
-    # checkpoint, tiny table (the lsh_incremental_pairs rationale)
-    new_idx = new_idx.localCheckpoint(eager=True)
+    if new_index is not None:
+        # same raise-on-mismatch contract as the lsh twin: same-width
+        # bits built at a different bands split the hyperplanes
+        # differently and lose recall SILENTLY
+        geom_n = _INDEX_GEOM_CACHE.get(new_index)
+        if geom_n is None:
+            row = new_index.agg(
+                F.max("band").alias("mb"),
+                F.max(F.length("bits")).alias("lb"),
+            ).collect()[0]
+            if row["mb"] is None:
+                raise ValueError("new_index is empty — no band rows")
+            geom_n = (int(row["mb"]) + 1, int(row["lb"]))
+            _INDEX_GEOM_CACHE[new_index] = geom_n
+        if geom_n != (bands, bits_per_band):
+            raise ValueError(
+                f"new_index geometry {geom_n} does not match the probe "
+                f"geometry ({bands}, {bits_per_band}) — build it with "
+                "hyperplane_build_index at the same (bands, "
+                "bits_per_band, dim)")
+        new_idx = new_index
+    else:
+        new_idx = _hyperplane_banded(
+            emb_new, bands, bits_per_band, dim, id_col
+        ).select(
+            F.col(id_col),
+            F.col("bucket.band").alias("band"),
+            F.col("bucket.bits").alias("bits"),
+        )
+        # the batch signature lineage feeds 2-3 consumers below — one
+        # checkpoint, tiny table (the lsh_incremental_pairs rationale)
+        new_idx = new_idx.localCheckpoint(eager=True)
     if stats is not None:
         _new_skew_light(new_idx, keys, stats)
 
@@ -1350,6 +1411,22 @@ def lsh_build_index(
     # device): an in-memory index= round-trip skips the max(band)
     # metadata aggregate; a parquet read is a new object, re-derived
     _INDEX_GEOM_CACHE[out] = (bands, rows_per_band)
+    return out
+
+
+def checkpoint_index(index: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` an index table (:func:`lsh_build_index` /
+    :func:`hyperplane_build_index` output), carrying the build-site
+    geometry-cache seed through — ``localCheckpoint`` returns a NEW
+    DataFrame object, so without this the probe's raise-on-mismatch
+    validation would re-pay the metadata aggregate (one extra driver
+    action per batch). Used by the r15 job-overlap callers (guide
+    §2.6): the new batch's signature pass is checkpointed on a worker
+    thread while the corpus index writes on another."""
+    out = index.localCheckpoint(eager=eager)
+    geom = _INDEX_GEOM_CACHE.get(index)
+    if geom is not None:
+        _INDEX_GEOM_CACHE[out] = geom
     return out
 
 
@@ -1601,10 +1678,20 @@ def lsh_index_absorb(
     rows = index_rows if index_rows is not None else lsh_build_index(
         docs_new, bands=bands, rows_per_band=rows_per_band,
         shingle=shingle)
-    rows.write.mode("append").partitionBy("band").parquet(index_path)
     if corpus_path is not None:
-        docs_new.select("doc_id", "text").write.mode("append") \
-            .parquet(corpus_path)
+        # two independent appends to disjoint tables — overlapped
+        # driver threads (guide §2.6, r15): the index append's
+        # planning/commit gap hides behind the corpus append's tasks
+        from .util import run_overlapped
+
+        run_overlapped(
+            lambda: rows.write.mode("append").partitionBy("band")
+            .parquet(index_path),
+            lambda: docs_new.select("doc_id", "text").write
+            .mode("append").parquet(corpus_path),
+        )
+    else:
+        rows.write.mode("append").partitionBy("band").parquet(index_path)
 
 
 def lsh_index_compact(

@@ -344,6 +344,7 @@ def media_incremental_pairs(
     max_bucket: int | None = 64,
     index: DataFrame | None = None,
     stats: dict | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Byte-block near-dup pairs of NEW media against an EXISTING
     corpus — ``(a, b, jaccard)`` with ``a`` an old media_id, ``b``
@@ -357,7 +358,10 @@ def media_incremental_pairs(
     verify — applies verbatim. ``index`` takes a written-back
     :func:`media_block_index` table (geometry validated from the
     table, the shared contract); old/new media_id spaces must be
-    disjoint."""
+    disjoint. ``new_index`` (r15) passes the NEW batch's own
+    precomputed :func:`media_block_index` table through to the probe
+    (same geometry contract; persist/checkpoint it first) — the
+    job-overlap device of :func:`~.dedup.lsh_incremental_pairs`."""
     from .dedup import lsh_incremental_pairs
 
     return lsh_incremental_pairs(
@@ -365,7 +369,7 @@ def media_incremental_pairs(
         media_block_fingerprint_docs(media_old, block_bytes=block_bytes),
         bands=bands, rows_per_band=rows_per_band, shingle=1,
         threshold=threshold, max_bucket=max_bucket, index=index,
-        stats=stats)
+        stats=stats, new_index=new_index)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -36,6 +36,28 @@ def memo_expr(key: str, build: Callable[[], Any]) -> Any:
     return _memo[key]
 
 
+def run_overlapped(*thunks: Callable[[], Any]) -> list[Any]:
+    """Run independent Spark ACTIONS concurrently from driver threads
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially) and return their results in argument order.
+
+    The r15 driver-gap profiles motivated this: the incremental-dedup
+    queries spend 60-65% of their wall in dead driver time between
+    ~37 micro-jobs (llm40: 2.71 s wall = 0.98 s job-busy + 1.73 s
+    gaps), and each independent action chain carries its own
+    ~0.3-0.5 s planning gap — overlapping the chains hides one
+    chain's planning/scheduling gaps behind another's tasks. Callers
+    must only overlap actions with NO data dependency and disjoint
+    output paths. Exceptions propagate from whichever thunk raises
+    first (the pool still joins the rest, so no write is abandoned
+    mid-flight with the caller unaware)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def spread_for_compute(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Repartition a DataFrame whose partition count is far below the
     cluster's parallelism before a CPU-heavy per-row stage.

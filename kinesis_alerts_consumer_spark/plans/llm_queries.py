@@ -1531,17 +1531,33 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, and not just for honesty: an in-line index DataFrame is a
     LINEAGE, so the probe's three consumptions (geometry agg, matched
     join, counts) would each re-pay the whole corpus minhash pass —
-    measured 7.3 s vs ~3 s through the parquet table at sf0.1."""
+    measured 7.3 s vs ~3 s through the parquet table at sf0.1.
+
+    r15 (guide §2.6): the corpus index WRITE and the new batch's own
+    signature pass (checkpointed, fed to the probe as ``new_index=``)
+    are independent action chains — run on overlapping driver threads
+    so one chain's planning/scheduling gaps hide behind the other's
+    tasks (the r15 profile: 1.73 s of 2.71 s wall was dead driver
+    time between micro-jobs). Identical result: ``new_index`` is
+    byte-identically the table the probe would build in-line."""
+    from ..operators.util import run_overlapped
+
     t = _tables(spark, sf_dir)
     old = t["documents"].select("doc_id", "text")
     new = _mutated_docs(t["documents"]).filter(
         F.col("doc_id") >= 1000000)
     root = _scratch.new_scratch(_LLM40_DIRS, "llm40_index_")
-    D.lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
-        .write.partitionBy("band").parquet(root + "/index")
+    _, batch_idx = run_overlapped(
+        lambda: D.lsh_build_index(old, bands=2, rows_per_band=2,
+                                  shingle=3)
+        .write.partitionBy("band").parquet(root + "/index"),
+        lambda: D.checkpoint_index(
+            D.lsh_build_index(new, bands=2, rows_per_band=2, shingle=3)),
+    )
     idx = spark.read.parquet(root + "/index")
     return D.lsh_incremental_pairs(
         new, old, shingle=3, threshold=0.5, max_bucket=64, index=idx,
+        new_index=batch_idx,
     ).orderBy("a", "b")
 
 
@@ -1667,17 +1683,33 @@ def q_hyperplane_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.hyperplane_build_index table at llm39's (6, 6)/dim=64.
     Served from parquet scratch (the llm40 lineage lesson); exact
     pairs land at cos 1.0, perturbed ones cross 0.9 or not on
-    bit-identical doubles (the llm27 device)."""
+    bit-identical doubles (the llm27 device).
+
+    r15 (guide §2.6): corpus-index write and the new batch's banded
+    signature pass overlap on driver threads (the llm40 device);
+    ``new_index=`` feeds the probe the checkpointed batch table it
+    would otherwise build in-line — byte-identical signatures (shared
+    :func:`~..operators.dedup._hyperplane_banded` machinery at the
+    same (6, 6, dim=64))."""
+    from ..operators.util import run_overlapped
+
     t = _tables(spark, sf_dir)
     old = t["embeddings"].select("vec_id", "embedding")
     new = _semdedup_base(t["embeddings"]).filter(
         F.col("vec_id") >= 1000000)
     root = _scratch.new_scratch(_LLM41_DIRS, "llm41_index_")
-    D.hyperplane_build_index(old, bands=6, bits_per_band=6, dim=64) \
-        .write.partitionBy("band").parquet(root + "/index")
+    _, batch_idx = run_overlapped(
+        lambda: D.hyperplane_build_index(old, bands=6, bits_per_band=6,
+                                         dim=64)
+        .write.partitionBy("band").parquet(root + "/index"),
+        lambda: D.checkpoint_index(
+            D.hyperplane_build_index(new, bands=6, bits_per_band=6,
+                                     dim=64)),
+    )
     idx = spark.read.parquet(root + "/index")
     return D.hyperplane_incremental_pairs(
         new, old, dim=64, threshold=0.9, max_bucket=1024, index=idx,
+        new_index=batch_idx,
     ).orderBy("a", "b")
 
 

@@ -286,7 +286,15 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(band), read back (the llm40 lineage lesson); the new
     batch (tail-truncated payload mutants at +1,000,000, disjoint
     ids) probes it through media_incremental_pairs — the certified
-    lsh_incremental_pairs physical shape verbatim at shingle=1."""
+    lsh_incremental_pairs physical shape verbatim at shingle=1.
+
+    r15 (guide §2.6): corpus-index write and the new batch's own
+    block-signature pass overlap on driver threads (the llm40
+    device); ``new_index=`` feeds the probe the checkpointed batch
+    table it would otherwise build in-line — byte-identical
+    (media_block_index IS the probe's internal new-side build)."""
+    from ..operators.dedup import checkpoint_index
+    from ..operators.util import run_overlapped
     from .llm_queries import _mutated_docs
 
     t = _tables(spark, sf_dir)
@@ -295,12 +303,18 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = _as_media(
         _mutated_docs(docs).filter(F.col("doc_id") >= 1000000))
     root = _scratch.new_scratch(_MM06_DIRS, "mm06_index_")
-    M.media_block_index(old, block_bytes=24, bands=2, rows_per_band=2) \
-        .write.partitionBy("band").parquet(root + "/index")
+    _, batch_idx = run_overlapped(
+        lambda: M.media_block_index(old, block_bytes=24, bands=2,
+                                    rows_per_band=2)
+        .write.partitionBy("band").parquet(root + "/index"),
+        lambda: checkpoint_index(
+            M.media_block_index(new, block_bytes=24, bands=2,
+                                rows_per_band=2)),
+    )
     idx = spark.read.parquet(root + "/index")
     return M.media_incremental_pairs(
         new, old, block_bytes=24, threshold=0.5, max_bucket=64,
-        index=idx,
+        index=idx, new_index=batch_idx,
     ).orderBy("a", "b")
 
 

@@ -156,10 +156,31 @@ class _rocksdb_state_store:
 
 
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly rollup through the memory sink.
+
+    State partitioning sized to volume via
+    :func:`..streaming.aggregates.state_partitions_for` (r15; the
+    st07/st08 precedent): the rollup's state is bounded (hours x
+    event types), so at bench scale the per-partition commit
+    machinery dominates — measured at sf0.1/32 cores: 32 session
+    default 2.04 s wall / 27.6 s executorRunTime vs sized-8 1.65 s /
+    4.7 s (the state-store maintenance work scales with partition
+    count, not data). At large SFs the sizing grows past the core
+    count with source volume exactly like the other stateful
+    entries. Result-identical: partition count never changes a
+    groupBy aggregate."""
     configure(spark)
-    return _run_to_memory(
-        hourly_type_rollup(stream_events(spark, sf_dir)), spark
-    ).orderBy("w", "event_type")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions_for(spark, sf_dir)))
+    try:
+        out = _run_to_memory(
+            hourly_type_rollup(stream_events(spark, sf_dir)), spark
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("w", "event_type")
 
 
 SQL_STREAM_HOURLY = """
@@ -331,7 +352,16 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals; after the bounded replay the final state per key
-    must equal the batch aggregate."""
+    must equal the batch aggregate.
+
+    Deliberately NOT state-partition-sized (r15 measurement, unlike
+    st01/st04): applyInPandasWithState is PYTHON-parallelism-bound —
+    each state partition is one Python worker's pandas loop — so
+    fewer/fatter partitions serialize the per-user work. Measured at
+    sf0.1/32 cores: session default 32 -> 2.30 s wall; sized-8 ->
+    3.01 s (executorRunTime drops 28.6 -> 12.2 s but the wall rises).
+    The session default already tracks cluster cores, which is the
+    right axis for a Python-bound operator."""
     from pyspark.sql import functions as F
 
     from ..streaming.stateful import running_user_totals
@@ -378,25 +408,42 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key state is pinned to RocksDB so 10M+ keys live off-heap. The
     state still grows without bound on an endless stream — that
     part is the point of the st04-vs-st08 pairing, not a defect to
-    fix here."""
+    fix here.
+
+    State partitioning sized to STATE VOLUME via
+    :func:`..streaming.aggregates.state_partitions_for` with the st08
+    calibration (32 MB target — the explode doubles every key per
+    source byte, exactly st08's regime), r15: measured at sf0.1/32
+    cores 2.47 s wall / 38.7 s executorRunTime at the 32-partition
+    session default vs 1.77 s / 4.9 s sized-8 — the dedup state is
+    per-key O(1), so at bench scale per-partition RocksDB commit
+    machinery is the whole cost, while at sf100 the sizing rises with
+    volume like st08's measured 1.25x. Result-identical: partition
+    count never changes dropDuplicates output."""
     from pyspark.sql import functions as F
 
     configure(spark)
-    doubled = (
-        stream_events(spark, sf_dir)
-        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
-        .drop("_copy")
-    )
-    with _rocksdb_state_store(spark):
-        deduped = _run_to_scratch(
-            doubled.dropDuplicates(["event_id"]).select(
-                "event_id", "event_type"
-            ),
-            spark,
-            _ST04_DIRS,
-            "st04_dedup_",
-            "append",
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = state_partitions_for(spark, sf_dir, target_bytes=32 << 20)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        doubled = (
+            stream_events(spark, sf_dir)
+            .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+            .drop("_copy")
         )
+        with _rocksdb_state_store(spark):
+            deduped = _run_to_scratch(
+                doubled.dropDuplicates(["event_id"]).select(
+                    "event_id", "event_type"
+                ),
+                spark,
+                _ST04_DIRS,
+                "st04_dedup_",
+                "append",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         deduped.groupBy("event_type")
         .agg(F.count("*").alias("n"))
@@ -886,6 +933,7 @@ def q_stream_absorbing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.dedup import lsh_build_index
+    from ..operators.util import run_overlapped
 
     configure(spark)
     path = os.path.join(sf_dir, "documents.parquet")
@@ -893,9 +941,6 @@ def q_stream_absorbing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _new_scratch(_ST10_DIRS, "st10_absorb_")
     idx_path = os.path.join(root, "index")
     corpus_path = os.path.join(root, "corpus")
-    lsh_build_index(old, bands=2, rows_per_band=2, shingle=3) \
-        .write.partitionBy("band").parquet(idx_path)
-    old.write.parquet(corpus_path)
 
     # the new batch, written as ONE file so availableNow replays it
     # as ONE deterministic micro-batch (the capped oracle models a
@@ -910,7 +955,16 @@ def q_stream_absorbing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
     )
     src = os.path.join(root, "src")
-    copies.unionByName(mutants).coalesce(1).write.parquet(src)
+    # three independent setup writes (index, corpus copy, replay src)
+    # to disjoint dirs — overlapped driver threads (guide §2.6, the
+    # r15 driver-gap work): each chain's planning gap hides behind
+    # another's tasks
+    run_overlapped(
+        lambda: lsh_build_index(old, bands=2, rows_per_band=2, shingle=3)
+        .write.partitionBy("band").parquet(idx_path),
+        lambda: old.write.parquet(corpus_path),
+        lambda: copies.unionByName(mutants).coalesce(1).write.parquet(src),
+    )
 
     out = os.path.join(root, "out")
 

@@ -54,9 +54,14 @@ BUILD_CONFS: dict[str, str] = {
     # on an 8-slot master (r14 optimization round); SPARK_GRAFT_SHUFFLE
     # still overrides for explicit experiments, and deployments size
     # this to cluster cores / AQE advisory bytes as usual.
+    # SPARK_GRAFT_CPUS legitimately accepts '*' (get_spark uses it as
+    # local[*]) — only an all-digit value is usable as a shuffle
+    # partition count; anything else falls back to the machine's
+    # cores (ADVICE r14).
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE",
-        os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        cpus if (cpus := os.environ.get("SPARK_GRAFT_CPUS", "32")).isdigit()
+        else str(os.cpu_count() or 32)),
     # Whole-stage-codegen class cache (static conf, default 100
     # entries). A long-lived session running a many-query workload —
     # the 107-query bench suite here, a Thrift/Connect server or a

@@ -158,6 +158,54 @@ def test_bench_family_isolation_order():
     assert events.count("<unload>") == n_st_runs
 
 
+def test_bench_medians_pass_is_detail_only_and_after_timed_pass():
+    """r15 (VERDICT r14 item 7): the optional medians pass re-runs
+    >=threshold queries in a THIRD per-family pass — the stdout-line
+    timing must remain the FIRST timed run (the r14 protocol,
+    byte-identical when medians are off), the medians land in the
+    caller's dict, and streaming extra runs still unload state stores.
+    """
+    from bench import is_streaming_query, run_suite, suite_families
+
+    names = list(entry.queries())
+    events: list[str] = []
+    medians: dict[str, float] = {}
+    timings = run_suite(
+        names,
+        run_query=lambda name: events.append(name),
+        unload_state_stores=lambda: events.append("<unload>"),
+        medians=medians,
+        median_threshold=0.0,  # force the pass with instant stubs
+        median_extra_runs=2,
+    )
+    assert sorted(timings) == sorted(names)
+    executed = [e for e in events if e != "<unload>"]
+    # warm-up + timed + 2 median re-runs
+    assert all(executed.count(n) == 4 for n in names)
+    assert sorted(medians) == sorted(names)
+    # per family: the medians pass starts only after EVERY query of
+    # the family has its timed run (the stdout number's protocol is
+    # untouched) — i.e. within a family, the 3rd occurrence of any
+    # query comes after the 2nd occurrence of every query
+    for family in suite_families(names):
+        second = {n: [i for i, e in enumerate(executed) if e == n][1]
+                  for n in family}
+        third = {n: [i for i, e in enumerate(executed) if e == n][2]
+                 for n in family}
+        assert min(third.values()) > max(second.values())
+    # unload still follows every streaming execution, incl. re-runs
+    for i, e in enumerate(events):
+        if is_streaming_query(e):
+            assert events[i + 1] == "<unload>", (i, e)
+    # detail carries medians; the line does not
+    from bench import build_bench_line, build_detail
+
+    line = build_bench_line(timings, "0.1")
+    detail = build_detail(line, timings, medians=medians)
+    assert "medians" not in json.loads(line)
+    assert detail["medians"] == dict(sorted(medians.items()))
+
+
 def test_bench_line_fits_driver_tail_buffer():
     """Exercises bench.py's REAL line builder (not a replica), so any
     key added to the emitted line or change to the short-key scheme is

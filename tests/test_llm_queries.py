@@ -1260,6 +1260,55 @@ def test_hyperplane_incremental_pairs_semantics(spark):
     }
 
 
+def test_hyperplane_new_index_path_identical_and_validated(spark):
+    """r15 job-overlap plumbing: ``new_index=`` (the batch's own
+    precomputed hyperplane_build_index table, checkpointed via
+    checkpoint_index) must (a) produce the EXACT pair set of the
+    in-line build — it is the same _hyperplane_banded machinery —
+    (b) skip the geometry metadata aggregate when the checkpoint
+    carried the build-site cache seed, and (c) raise on a geometry
+    mismatch instead of silently losing recall."""
+    import pytest
+
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        _INDEX_GEOM_CACHE,
+        checkpoint_index,
+        hyperplane_build_index,
+        hyperplane_incremental_pairs,
+    )
+
+    base = [1.0, 2.0, 3.0, 4.0, -1.0, -2.0, -3.0, -4.0]
+    old = spark.createDataFrame(
+        [(i, [float(x) * (1 + 0.001 * i) for x in base])
+         for i in range(6)]
+        + [(50, [4.0, -3.0, 2.0, -1.0, 0.5, 1.5, -2.5, 3.5])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(1000, [4.0, -3.0, 2.0, -1.0, 0.5, 1.5, -2.5, 3.5]),
+         (1001, [float(x) for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = hyperplane_build_index(old, bands=4, bits_per_band=4, dim=8)
+    inline = hyperplane_incremental_pairs(
+        new, old, dim=8, threshold=0.9, index=idx)
+    batch_idx = checkpoint_index(
+        hyperplane_build_index(new, bands=4, bits_per_band=4, dim=8))
+    # (b) the checkpoint carried the geometry seed — no metadata agg
+    assert _INDEX_GEOM_CACHE.get(batch_idx) == (4, 4)
+    via_new = hyperplane_incremental_pairs(
+        new, old, dim=8, threshold=0.9, index=idx, new_index=batch_idx)
+    assert {(r.a, r.b, r.cos) for r in via_new.collect()} == {
+        (r.a, r.b, r.cos) for r in inline.collect()
+    }
+    # (c) mismatched geometry raises (same-width bits, other bands)
+    wrong = checkpoint_index(
+        hyperplane_build_index(new, bands=2, bits_per_band=4, dim=8))
+    with pytest.raises(ValueError, match=r"new_index geometry \(2, 4\)"):
+        hyperplane_incremental_pairs(
+            new, old, dim=8, threshold=0.9, index=idx, new_index=wrong)
+
+
 def test_hyperplane_gated_fixture_candidate_volume_is_a_contract(spark):
     """VERDICT r12 item 4 (resolution: record, don't resize): llm39's
     gated literal (6, 6)/dim=64 IS the suggest_hyperplane_sizing

@@ -297,7 +297,14 @@ def test_pair_verify_spread_survives_as_user_repartition(spark):
     from kinesis_alerts_consumer_spark.sources import register_tables
 
     t = register_tables(spark, SF_SMOKE)
-    p = spark.sparkContext.defaultParallelism
+    # r15: the spread count follows max(cores, shuffle.partitions) —
+    # a user REPARTITION_BY_NUM is exempt from AQE re-splitting too,
+    # so at scale it must track the cluster-sized shuffle axis, not
+    # bare plan-time defaultParallelism (ADVICE r14)
+    p = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     for df in (
         hyperplane_lsh_pairs(
             t["embeddings"].select("vec_id", "embedding"),
@@ -315,3 +322,22 @@ def test_pair_verify_spread_survives_as_user_repartition(spark):
         assert len(ab_exchanges) == 1, ab_exchanges
         assert f", {p})," in ab_exchanges[0] or f", {p})" in \
             ab_exchanges[0], (p, ab_exchanges[0])
+
+
+def test_pair_verify_spread_honors_kill_switch(spark):
+    """``spark.graft.spreadForCompute=off`` must disable the forced
+    pair spread exactly like it disables
+    :func:`~..operators.util.spread_for_compute` — one deployment
+    kill-switch for every forced exchange (ADVICE r14)."""
+    from kinesis_alerts_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from kinesis_alerts_consumer_spark.sources import register_tables
+
+    t = register_tables(spark, SF_SMOKE)
+    spark.conf.set("spark.graft.spreadForCompute", "off")
+    try:
+        plan = _plan(lsh_candidate_pairs(t["documents"], shingle=3))
+        assert "REPARTITION_BY_NUM" not in plan, plan[:2000]
+    finally:
+        spark.conf.unset("spark.graft.spreadForCompute")
